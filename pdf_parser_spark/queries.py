@@ -1,0 +1,336 @@
+"""Driver-contract queries (SURVEY.md §2.8/§2.9 relational analogues).
+
+Each ``q_*`` takes (spark, sf_dir) and returns a DataFrame; the
+matching ANSI-SQL oracle lives in ORACLES (DuckDB-runnable). Column
+names/aliases are identical on both sides (the driver hashes values
+under column-name sort). Double aggregates are ROUNDed on both sides:
+floating-point summation order differs between engines, so raw sums
+can differ in the last ulp and break the value hash.
+
+Scale notes per query are in the docstrings — joins that must be
+broadcast are hinted explicitly; everything else is left to Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# R-series: the reference's service-layer relational ops (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 content-hash dedup (reference: services/document_store.py:38,
+    ingest_api/app.py:81-83 sha-256 + unique index). Hash-groupBy is a
+    single shuffle on the hash — at 100 TB this is the canonical
+    exact-dedup plan (partial agg map-side first)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+        .select("content_hash", "keep_doc_id", "dup_count")
+    )
+
+
+def q_pagination_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 pagination (reference: services/ingest_api/store.py:58-67
+    offset/limit). Window row_number + filter = ORDER BY ... LIMIT with
+    deterministic tiebreak; Spark's TakeOrderedAndProject keeps it
+    driver-light at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+        .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+def q_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 counts with status filter (reference: document_store.py:130-135)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))
+
+
+def q_status_filtered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 status-filtered listing (reference: document_store.py:112-118).
+    Predicate pushes to the parquet scan (PushedFilters)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"), F.round(F.sum("value"), 4).alias("error_value"))
+    )
+
+
+def q_oldest_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 oldest-first selection (reference: redis_store.py:68-79 zpopmin).
+    First event per type by (ts, event_id) — window rank 1."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 case-insensitive substring search (reference:
+    document_store.py:137-157)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.lower(F.col("text")).contains("shuffle")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 filename-enrichment analogue (reference: ingest_api/app.py:89-101
+    memoized lookup -> broadcast hash join). nation (25 rows) and
+    customer (small) are broadcast explicitly — at 100 TB the fact side
+    streams, dims never shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_totals_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 totals (reference: src/pipeline.py:301-309 block/table sums)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style engine-surface queries (SURVEY.md §2.9: joins/aggs/windows
+# come free from Catalyst — prove it on the standard shapes)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: 2-col groupBy, 8 aggregates, map-side
+    partial agg; the shuffle carries only (2 keys x ~6 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: filter-pushdown on both sides of a
+    join + top-N. customer is broadcast (small dim)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure scan+filter+agg — the whole plan
+    should be one WholeStageCodegen over the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: per-user running sum over event time
+    (reference has no window frames — SURVEY.md §2.9 — Catalyst
+    provides them; we expose the op)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        events.withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "event_id", "running_value")
+    )
+    return out
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum — the streaming analogue
+    (SURVEY.md §1.3: the reference's queue poller) expressed as a batch
+    window op."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(w)
+    return (
+        events.withColumn("session_id", F.coalesce(sess, F.lit(0)).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "r1_dedup_hash": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "r2_pagination_topk": """
+        SELECT rn, o_orderkey, total_price FROM (
+            SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+                   o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM orders
+        ) WHERE rn > 10 AND rn <= 30
+    """,
+    "r3_count_by_status": """
+        SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+    """,
+    "r4_status_filtered_list": """
+        SELECT user_id, count(*) AS n_errors, round(sum(value), 4) AS error_value
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    """,
+    "r5_oldest_queued": """
+        SELECT event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "r6_keyword_search": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lower(text) LIKE '%shuffle%'
+    """,
+    "r9_enrichment_join": """
+        SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "r10_totals_aggregate": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "window_running_total": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        FROM events QUALIFY user_id < 5
+    """,
+    "sessionize_events": """
+        WITH gaps AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+}
+
+QUERIES = {
+    "r1_dedup_hash": q_dedup_hash,
+    "r2_pagination_topk": q_pagination_topk,
+    "r3_count_by_status": q_count_by_status,
+    "r4_status_filtered_list": q_status_filtered_list,
+    "r5_oldest_queued": q_oldest_queued,
+    "r6_keyword_search": q_keyword_search,
+    "r9_enrichment_join": q_enrichment_join,
+    "r10_totals_aggregate": q_totals_aggregate,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
+    "window_running_total": q_window_running_total,
+    "sessionize_events": q_sessionize_events,
+}

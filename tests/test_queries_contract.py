@@ -1,0 +1,65 @@
+"""Mirror of the driver's correctness gate: every queries() entry runs
+on Spark AND (when an oracle exists) on DuckDB at sf0.001; results must
+match exactly under column-name sort + row sort, like the driver's
+order-insensitive value-hash."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql())
+ALL_NAMES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    qs = entrymod.queries()
+    spark_pdf = qs[name](spark, SF_DIR).toPandas()
+    oracle_pdf = ddb.execute(entrymod.oracle_sql()[name]).df()
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"conv_id", "n_turns", "ocr_fallback_rate"} <= set(df.columns)
