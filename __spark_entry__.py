@@ -22,6 +22,8 @@ from pdf_parser_spark.pipeline import (
     run_metrics,
     transcripts_from_documents,
 )
+from pdf_parser_spark.dataops import DATAOPS_ORACLES, DATAOPS_QUERIES
+from pdf_parser_spark.multimodal import MULTIMODAL_QUERIES
 from pdf_parser_spark.queries import ORACLES, QUERIES
 
 
@@ -83,9 +85,13 @@ _EXTRACTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(QUERIES)
+    out.update(DATAOPS_QUERIES)
+    out.update(MULTIMODAL_QUERIES)  # rows-only: binary decode is a stub
     out.update(_EXTRACTION_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out.update(DATAOPS_ORACLES)
+    return out

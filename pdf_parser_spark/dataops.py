@@ -1,0 +1,740 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``.
+
+The ops a 100 TB pretraining-data pipeline needs beyond the reference's
+surface (SURVEY.md §2.8 R1/R7 are the seeds: content-hash dedup and
+k-NN search — reference: services/document_store.py:38,
+services/search/chroma_store.py:100-145). Everything here is pure
+DataFrame/SQL — zero Python UDFs — so Catalyst/AQE own the physical
+plan, and every op has a DuckDB oracle computing the *identical*
+deterministic algorithm (md5-based hashing on both engines).
+
+Scale notes (the 100 TB story, per op):
+- MinHash/LSH: one shuffle to build signatures (16 min-aggregates with
+  map-side partial agg — NOT a 16x row explode), one band-bucket
+  self-join for candidates, one shingle-intersection join to verify.
+  Band buckets are the classic skew risk -> ``max_df`` caps stop-shingle
+  frequency; at cluster scale add bucket salting on the band key.
+- SimHash: same single-shuffle 16-aggregate shape; near-dup lookup is
+  an equi-join on the 16-bit key (or banded sub-keys for hamming<=k).
+- Brute-force cosine: the correctness baseline; the scale path is
+  ``ann_lsh_topk`` (sign-random-projection buckets -> equi-join), with
+  the query side broadcast.
+- All ratios/scores computed in double; aggregates rounded before
+  output so cross-engine float summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared building blocks (kept textually parallel with the oracle SQL)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = "[a-z0-9]+"
+
+N_MINHASH = 16  # 8 bands x 2 rows
+N_BANDS = 8
+MINHASH_JACCARD_MIN = 0.01
+NGRAM_TOPK = 20
+MAX_DF = 1000  # stop-shingle cap: drop shingles appearing in > MAX_DF docs
+ANN_N_QUERIES = 5
+ANN_TOPK = 10
+LSH_N_PLANES = 8
+LSH_TOPK = 5
+EMB_DIM = 64
+NEAR_DUP_COS_MIN = 0.3
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+DE_STOP = ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"]
+ES_STOP = ["el", "la", "de", "y", "es", "en", "los", "con", "una", "por"]
+FR_STOP = ["le", "la", "de", "et", "est", "en", "les", "avec", "une", "pour"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens_col():
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+
+
+def _shingles_col(toks):
+    """Distinct word 3-grams. Guarded: sequence(0, n-3) is descending for
+    n<3 in Spark, so short docs get an explicit empty array."""
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) exploded distinct shingles with the stop-shingle df cap
+    applied (the skew lever: a shingle present in half the corpus would
+    otherwise fan the candidate join quadratically)."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles_col(_tokens_col())).alias("s"))
+    )
+    hot = (
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > MAX_DF)
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+# DuckDB mirror of the shingle pipeline (shared CTE text)
+_SQL_SHINGLES = f"""
+    sh0 AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 2, 0)),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               ))) AS s
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents)
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {MAX_DF}),
+    sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1: MinHash + LSH banding + exact-Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> 8 bands x 2 rows -> band-bucket candidate join ->
+    exact Jaccard verify. Signatures via ONE groupBy with 16 min()
+    aggregates (map-side combine; no row explosion). min() over md5 hex
+    strings is a valid random-permutation proxy and is engine-portable."""
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # band key md5(least||greatest) — order-free, same formula as oracle
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                F.least(f"h{2*b}", f"h{2*b+1}"),
+                                F.greatest(f"h{2*b}", f"h{2*b+1}"),
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (cand.doc_b == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), inter.doc_a == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), inter.doc_b == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+    )
+
+
+SQL_MINHASH_NEAR_DUP = f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+        SELECT doc_id, (i // 2) AS band, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS sig
+        FROM sh, range({N_MINHASH}) t(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, band, md5(min(sig) || max(sig)) AS bkey
+        FROM sigs GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS i
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (za.n + zb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE round(i * 1.0 / (za.n + zb.n - i), 6) >= {MINHASH_JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: SimHash (16-bit) + bucket sizes
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token md5s: per (doc, bit) a +/-1 vote sum,
+    then the weighted-bit sum. One shuffle (16 conditional-sum
+    aggregates, map-side combined); exact-dup buckets via a window count
+    on the fingerprint."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)
+    )
+    out = votes.select("doc_id", simhash.cast("long").alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return out.withColumn("bucket_size", F.count("*").over(w).cast("long"))
+
+
+SQL_SIMHASH_DEDUP = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN ((('0x' || substr(md5(tok), 1, 4))::INT >> b) & 1) = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM toks, range(16) t(b)
+        GROUP BY doc_id, b
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, simhash,
+           CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS bucket_size
+    FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: exact n-gram Jaccard top-k pairs (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard restricted to pairs sharing >=1 shingle
+    (the join IS the blocking), top-20 by similarity. This is the
+    correctness baseline for minhash; at 100 TB only the LSH path runs."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes.alias("za"), inter.doc_a == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), inter.doc_b == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= NGRAM_TOPK)
+        .select("rank", "doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_TOPK = f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (za.n + zb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS BIGINT) AS rank,
+           doc_a, doc_b, jaccard
+    FROM scored
+    QUALIFY rank <= {NGRAM_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: embedding-cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine, blocked on the cluster label
+    (the generic pattern: block on a cheap key — label/LSH bucket — so
+    the quadratic compare stays within blocks). Double-precision dot via
+    zip_with+aggregate; rounded before the threshold."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS_MIN)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {NEAR_DUP_COS_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search 1: brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 k-NN (reference: services/search/chroma_store.py:100-145) as
+    brute-force cosine: tiny query set broadcast against the corpus,
+    per-query top-k window. The 100 TB plan: broadcast queries (never
+    shuffle the corpus), rank with a per-query window."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, cosine
+    FROM scored
+    QUALIFY rank <= {ANN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search 2: LSH-bucketed top-k (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_planes() -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes from md5 parity — computed driver-
+    side once and inlined as literals in BOTH engines' plans."""
+    planes = []
+    for p in range(LSH_N_PLANES):
+        row = []
+        for d in range(EMB_DIM):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vcol, planes: list[list[float]]):
+    bits = []
+    for p, row in enumerate(planes):
+        proj = _dot(vcol, F.array(*[F.lit(x) for x in row]))
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits).cast("long")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 8 deterministic hyperplanes -> 256
+    buckets; candidates = same-bucket equi-join (hash join on the bucket
+    key — no quadratic compare); cosine re-rank within bucket. At scale
+    probe multiple tables / neighboring buckets for recall."""
+    planes = _lsh_planes()
+    e = (
+        _embs(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    )
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _sql_bucket(col: str, planes: list[list[float]]) -> str:
+    bits = []
+    for p, row in enumerate(planes):
+        arr = "[" + ", ".join(str(x) for x in row) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_ann_lsh_topk() -> str:
+    planes = _lsh_planes()
+    b = _sql_bucket("embedding", planes)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, CAST({b} AS BIGINT) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e
+          WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM e JOIN q USING (bucket)
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, cosine
+    FROM scored
+    QUALIFY rank <= {LSH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality score, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _hits(toks, words: list[str]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family). Deterministic
+    argmax with fixed tie order en>de>es>fr; 'und' (undetermined) when no
+    list scores. Narrow map — no shuffle at all."""
+    toks = _tokens_col()
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        _hits(toks, EN_STOP).alias("en"),
+        _hits(toks, DE_STOP).alias("de"),
+        _hits(toks, ES_STOP).alias("es"),
+        _hits(toks, FR_STOP).alias("fr"),
+        F.size(toks).alias("n_toks"),
+    )
+    best = F.greatest("en", "de", "es", "fr")
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("en") == best, F.lit("en"))
+        .when(F.col("de") == best, F.lit("de"))
+        .when(F.col("es") == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        "lang_true",
+        pred.alias("lang_pred"),
+        F.round(best / F.greatest(F.col("n_toks"), F.lit(1)), 6).alias("stop_ratio"),
+    )
+
+
+def _sql_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+SQL_LANG_ID = f"""
+    WITH d AS (
+        SELECT doc_id, lang AS lang_true,
+               {_sql_hits(EN_STOP)} AS en, {_sql_hits(DE_STOP)} AS de,
+               {_sql_hits(ES_STOP)} AS es, {_sql_hits(FR_STOP)} AS fr,
+               len(toks) AS n_toks
+        FROM (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, de, es, fr) THEN 'en'
+                WHEN de = greatest(en, de, es, fr) THEN 'de'
+                WHEN es = greatest(en, de, es, fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           round(greatest(en, de, es, fr) * 1.0 / greatest(n_toks, 1), 6) AS stop_ratio
+    FROM d
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/alpha ratios + mean token length
+    combined into one [0,1] score (Gopher-rules shape). Pure column
+    expressions — whole-stage codegen, no shuffle."""
+    toks = _tokens_col()
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop_ratio = _hits(toks, EN_STOP) / F.greatest(n_toks, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    wlen_ok = (
+        F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    score = 0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_ratio + 0.2 * wlen_ok
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               {_sql_hits(EN_STOP)} AS stop_hits,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS tok_chars
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id, n_toks,
+               coalesce(tok_chars, 0) / greatest(n_toks, 1) AS mean_tok_len,
+               alpha_chars * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+               stop_hits * 1.0 / greatest(n_toks, 1) AS stop_ratio
+        FROM m
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+           round(mean_tok_len, 6) AS mean_token_len,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(0.3 * least(n_toks / 100.0, 1.0) + 0.3 * alpha_ratio
+                 + 0.2 * stop_ratio
+                 + 0.2 * (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality_score
+    FROM r
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, and a
+    BPE-ish estimate (sum of ceil(len/4) over word tokens + count of
+    non-space punctuation)."""
+    toks = _tokens_col()
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    bpe = (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        )
+        + punct.cast("long")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("word_tokens"),
+        bpe.alias("bpe_est_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(toks) AS BIGINT) AS word_tokens,
+           CAST(coalesce(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
+                + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)
+               AS bpe_est_tokens
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+          FROM documents)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-8 sketch fingerprint: md5 each shingle, keep the 8 smallest
+    hashes, fingerprint = md5 of their concatenation. Entirely array-
+    level (no explode, no shuffle) — the winnowing-style doc signature."""
+    sh = _shingles_col(_tokens_col())
+    hs = F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, 8)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(hs, "")).alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+    SELECT doc_id,
+           md5(array_to_string(list_slice(list_sort(list_transform(sh, s -> md5(s))), 1, 8), ''))
+               AS fingerprint,
+           CAST(len(sh) AS BIGINT) AS n_shingles
+    FROM (SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(toks) - 2, 0)),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 )) AS sh
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+DATAOPS_QUERIES = {
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_dedup": q_simhash_dedup,
+    "ngram_jaccard_dup": q_ngram_jaccard_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+DATAOPS_ORACLES = {
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
+    "ngram_jaccard_dup": SQL_NGRAM_JACCARD_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

@@ -1,0 +1,107 @@
+"""Unit/property tests for the training-data ops (dataops + multimodal).
+
+The oracle-equality gate for these lives in test_queries_contract.py
+(auto-parametrized over queries()); here we test op-specific properties
+the oracle can't express."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.dataops import (
+    MINHASH_JACCARD_MIN,
+    _lsh_planes,
+    q_ann_cosine_topk,
+    q_ann_lsh_topk,
+    q_minhash_near_dup,
+    q_ngram_jaccard_topk,
+    q_simhash_dedup,
+)
+from pdf_parser_spark.multimodal import (
+    _decode_stub,
+    decode_media,
+    media_table,
+    q_multimodal_meta,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_planes_deterministic_and_balanced():
+    p1, p2 = _lsh_planes(), _lsh_planes()
+    assert p1 == p2
+    assert len(p1) == 8 and all(len(r) == 64 for r in p1)
+    for row in p1:
+        pos = sum(1 for x in row if x > 0)
+        assert 16 <= pos <= 48  # md5 parity should be roughly balanced
+
+
+def test_minhash_candidates_are_true_pairs(spark):
+    """Every minhash-surfaced pair must carry its exact verified jaccard
+    >= threshold (LSH may miss pairs; it must never fabricate them)."""
+    mh = q_minhash_near_dup(spark, SF_DIR).toPandas()
+    assert (mh["jaccard"] >= MINHASH_JACCARD_MIN).all()
+    assert (mh["doc_a"] < mh["doc_b"]).all()
+    # and the pair set is a subset of the brute-force top pairs' universe
+    bf = q_ngram_jaccard_topk(spark, SF_DIR).toPandas()
+    bf_pairs = set(zip(bf["doc_a"], bf["doc_b"]))
+    mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
+    # the brute-force top-20 with highest jaccard should largely be
+    # rediscovered by LSH (recall on the easiest pairs)
+    top5 = set(zip(bf.head(5)["doc_a"], bf.head(5)["doc_b"]))
+    assert len(top5 & mh_pairs) >= 3
+    assert bf_pairs  # non-trivial corpus overlap exists
+
+
+def test_simhash_close_texts_close_hashes(spark):
+    """SimHash of a doc vs itself-with-one-word-changed differs in few
+    bits (the property that makes it a near-dup key)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1).toPandas()
+    base = docs["text"].iloc[0]
+    toks = base.split()
+    toks[len(toks) // 2] = "zzzdifferent"
+    perturbed = " ".join(toks)
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [base, perturbed]})
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_simhash_dedup(spark, td).toPandas().sort_values("doc_id")
+        h0, h1 = int(out["simhash"].iloc[0]), int(out["simhash"].iloc[1])
+    assert bin(h0 ^ h1).count("1") <= 4
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark):
+    """LSH top-k returns (query, neighbor, cosine) whose cosine equals
+    the brute-force cosine for the same pair (bucketing changes recall,
+    never the similarity value)."""
+    bf = q_ann_cosine_topk(spark, SF_DIR).toPandas()
+    lsh = q_ann_lsh_topk(spark, SF_DIR).toPandas()
+    bf_map = {(r.query_id, r.neighbor_id): r.cosine for r in bf.itertuples()}
+    for r in lsh.itertuples():
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_map:
+            assert abs(bf_map[key] - r.cosine) < 1e-9
+
+
+def test_decode_stub_deterministic_per_type():
+    img = _decode_stub("image", b"hello world payload")
+    img2 = _decode_stub("image", b"hello world payload")
+    assert img == img2
+    assert img["width"] is not None and img["height"] is not None
+    assert img["duration_s"] is None
+    aud = _decode_stub("audio", b"hello world payload")
+    assert aud["duration_s"] is not None and aud["width"] is None
+    vid = _decode_stub("video", b"xyz")
+    assert vid["n_frames"] is not None and vid["duration_s"] is not None
+    assert len(vid["features"]) == 8  # padded to fixed dim
+
+
+def test_media_pipeline_schema_and_counts(spark):
+    media = media_table(spark, SF_DIR)
+    decoded = decode_media(media)
+    assert decoded.count() == media.count()
+    row = decoded.filter(F.col("media_type") == "image").first()
+    assert row.width is not None and len(row.features) == 8
+    meta = q_multimodal_meta(spark, SF_DIR).toPandas()
+    assert set(meta["media_type"]) == {"image", "audio", "video"}
+    assert (meta["n_media"] > 0).all()
