@@ -1,0 +1,179 @@
+"""Resumable extraction runs: bucket-grained checkpoint + lineage
+(M4 in SURVEY.md §7).
+
+The reference's job lifecycle (queued -> processing -> uploaded/failed,
+services/ingest_api/schemas.py:18-39 + worker loop run.py:23-38) maps
+to snapshot-style checkpointing: work is split into ``n_buckets``
+conv-hash buckets; each bucket is extracted and written atomically
+(parquet dir per bucket), then a lineage row (bucket, status, counts,
+timestamps, error) is appended. Resume = read lineage, skip completed
+buckets, process the rest. Output and lineage are idempotent per
+bucket (overwrite semantics), so a killed run resumes to the identical
+result — the failure-injection test in tests/test_runner.py proves it.
+
+At cluster scale each bucket is a large unit (e.g. 1024 buckets over
+100 TB -> ~100 GB per commit) and the lineage table is the Iceberg
+snapshot log; a real deployment would use MERGE INTO on an Iceberg
+``lineage`` table instead of parquet appends — the control flow is the
+same. Inside each bucket the extraction still salts on (conv_id,
+turn_idx-hash) so a single million-turn conversation spreads across
+tasks (pipeline.extract_turns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .pipeline import extract_turns, run_metrics
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_convs", T.LongType(), False),
+        T.StructField("started_at", T.DoubleType(), False),
+        T.StructField("completed_at", T.DoubleType(), False),
+        T.StructField("error_message", T.StringType(), True),
+    ]
+)
+
+
+def with_bucket(transcripts: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic work unit: conv-hash bucket. Whole conversations
+    stay in one bucket so per-conv ordering/gap-fill never crosses a
+    checkpoint boundary."""
+    return transcripts.withColumn(
+        "bucket", F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = _lineage_dir(out_dir)
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    lin = read_lineage(spark, out_dir)
+    return {
+        r["bucket"]
+        for r in lin.filter(F.col("status") == "completed").select("bucket").collect()
+    }
+
+
+def _append_lineage(spark: SparkSession, out_dir: str, row: dict) -> None:
+    df = spark.createDataFrame([row], schema=LINEAGE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(_lineage_dir(out_dir))
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    salt_buckets: int = 16,
+    fail_bucket: int | None = None,
+    on_bucket_done: Callable[[int], None] | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns run summary dict.
+
+    ``fail_bucket`` injects a failure after that bucket's lineage is
+    checked but before its output commits — the test hook for
+    kill-and-resume. Failed buckets get a 'failed' lineage row (the
+    reference persists the traceback the same way,
+    services/worker/ocr_worker.py:72-83) and the run raises.
+    """
+    bucketed = with_bucket(transcripts, n_buckets)
+    done = completed_buckets(spark, out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    for b in todo:
+        started = time.time()
+        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        try:
+            if fail_bucket is not None and b == fail_bucket:
+                raise RuntimeError(f"injected failure at bucket {b}")
+            extracted = extract_turns(part, salt_buckets=salt_buckets)
+            # atomic-ish commit: overwrite this bucket's dir, THEN the
+            # lineage row. A crash between the two re-does the bucket on
+            # resume — idempotent because overwrite replaces the dir.
+            (
+                extracted.sortWithinPartitions("conv_id", "turn_idx")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"bucket={b}"))
+            )
+            stats = extracted.agg(
+                F.count("*").alias("n"), F.countDistinct("conv_id").alias("c")
+            ).collect()[0]
+            _append_lineage(
+                spark,
+                out_dir,
+                {
+                    "bucket": b,
+                    "status": "completed",
+                    "n_turns": int(stats["n"]),
+                    "n_convs": int(stats["c"]),
+                    "started_at": started,
+                    "completed_at": time.time(),
+                    "error_message": None,
+                },
+            )
+            if on_bucket_done is not None:
+                on_bucket_done(b)
+        except Exception as exc:
+            _append_lineage(
+                spark,
+                out_dir,
+                {
+                    "bucket": b,
+                    "status": "failed",
+                    "n_turns": 0,
+                    "n_convs": 0,
+                    "started_at": started,
+                    "completed_at": time.time(),
+                    "error_message": traceback.format_exc()[-2000:],
+                },
+            )
+            raise RuntimeError(f"bucket {b} failed: {exc}") from exc
+
+    extracted_all = read_extracted(spark, out_dir)
+    metrics = run_metrics(extracted_all).collect()[0].asDict()
+    metrics_df = spark.createDataFrame([metrics])
+    metrics_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_metrics")
+    )
+    return {
+        "buckets_total": n_buckets,
+        "buckets_resumed_skip": len(done),
+        "buckets_processed": len(todo),
+        **{k: (float(v) if k == "ocr_fallback_rate" else int(v)) for k, v in metrics.items()},
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the committed output across bucket dirs."""
+    paths = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("bucket=")
+    ]
+    return spark.read.parquet(*paths)
+
+
+def summarize(summary: dict) -> str:
+    return json.dumps(summary, sort_keys=True)

@@ -1,0 +1,80 @@
+"""Checkpoint/resume lineage tests (M4): kill mid-run, resume, same
+output — the north rule's resumability requirement."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.pipeline import extract_turns, synth_transcripts_df
+from pdf_parser_spark.runner import (
+    completed_buckets,
+    read_extracted,
+    read_lineage,
+    run_extraction,
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts_df(spark, n_convs=12).cache()
+
+
+def _text_map(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in df.select("conv_id", "turn_idx", "extracted_text").collect()
+    }
+
+
+def test_full_run_matches_direct_extraction(spark, transcripts, tmp_path):
+    out = str(tmp_path / "full")
+    summary = run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    assert summary["buckets_processed"] == N_BUCKETS
+    assert summary["turns_parsed"] == transcripts.count()
+    direct = extract_turns(transcripts)
+    assert _text_map(read_extracted(spark, out)) == _text_map(direct)
+    # metrics table committed
+    metrics = spark.read.parquet(os.path.join(out, "_metrics")).collect()[0]
+    assert metrics["turns_parsed"] == summary["turns_parsed"]
+
+
+def test_failure_then_resume_same_result(spark, transcripts, tmp_path):
+    out = str(tmp_path / "resumed")
+    ref_out = str(tmp_path / "reference")
+
+    with pytest.raises(RuntimeError, match="bucket 2 failed"):
+        run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS, fail_bucket=2)
+
+    lin = read_lineage(spark, out)
+    statuses = {r["bucket"]: r["status"] for r in lin.collect()}
+    assert statuses[2] == "failed"
+    assert completed_buckets(spark, out) == {0, 1}
+    failed_row = lin.filter(F.col("status") == "failed").collect()[0]
+    assert "injected failure" in failed_row["error_message"]
+
+    # resume: only the remaining buckets run
+    summary = run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    assert summary["buckets_resumed_skip"] == 2
+    assert summary["buckets_processed"] == 2
+
+    run_extraction(spark, transcripts, ref_out, n_buckets=N_BUCKETS)
+    assert _text_map(read_extracted(spark, out)) == _text_map(
+        read_extracted(spark, ref_out)
+    )
+    # exactly one completed lineage row per bucket, none duplicated
+    completed = read_lineage(spark, out).filter(F.col("status") == "completed")
+    per_bucket = {r["bucket"] for r in completed.collect()}
+    assert per_bucket == set(range(N_BUCKETS))
+    assert completed.count() == N_BUCKETS
+
+
+def test_resume_is_noop_when_complete(spark, transcripts, tmp_path):
+    out = str(tmp_path / "noop")
+    run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    summary = run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    assert summary["buckets_processed"] == 0
+    assert summary["buckets_resumed_skip"] == N_BUCKETS
+    assert summary["turns_parsed"] == transcripts.count()
