@@ -25,6 +25,7 @@ from pdf_parser_spark.pipeline import (
 from pdf_parser_spark.dataops import DATAOPS_ORACLES, DATAOPS_QUERIES
 from pdf_parser_spark.multimodal import MULTIMODAL_QUERIES
 from pdf_parser_spark.queries import ORACLES, QUERIES
+from pdf_parser_spark.search import SEARCH_ORACLES, SEARCH_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(QUERIES)
     out.update(DATAOPS_QUERIES)
+    out.update(SEARCH_QUERIES)
     out.update(MULTIMODAL_QUERIES)  # rows-only: binary decode is a stub
     out.update(_EXTRACTION_QUERIES)
     return out
@@ -94,4 +96,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out.update(DATAOPS_ORACLES)
+    out.update(SEARCH_ORACLES)
     return out

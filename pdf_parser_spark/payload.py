@@ -325,7 +325,9 @@ def synth_transcripts(
                     "role": roles[t % 3],
                     "text": make_payload(flavor, _h(seed, c, t, "pay") % (2**31)),
                     "tool": "opaque" if flavor == "opaque" and _h(seed, c, t) % 2 == 0 else "",
-                    "ts": base_epoch + c * 86_400 + t * 60,
+                    # day offset capped at 10 years: keeps ts within
+                    # pandas' ns-timestamp range for any corpus size
+                    "ts": base_epoch + (c % 3650) * 86_400 + t * 60,
                 }
             )
     rows.sort(key=lambda r: _h(seed, r["conv_id"], r["turn_idx"], "shuffle"))

@@ -91,9 +91,23 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("extracted_text", T.StringType(), False),
         T.StructField("spans", T.ArrayType(SPAN_TYPE), False),
         T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_tables", T.IntegerType(), False),
         T.StructField("n_spans", T.IntegerType(), False),
         T.StructField("n_chars", T.IntegerType(), False),
     ]
+)
+
+EXTRACTED_WITH_SEQ_SCHEMA = T.StructType(
+    EXTRACTED_SCHEMA.fields + [T.StructField("turn_seq", T.IntegerType(), False)]
+)
+
+# slim variant: the graft's per-turn contract (extracted_text + span
+# offsets + counters) WITHOUT the nested blocks payload. Metric/bench
+# consumers use this — the blocks structs are the dominant Arrow
+# encode/decode cost, and chunking/export fuse into the kernel pass or
+# request the full schema instead.
+EXTRACTED_SLIM_SCHEMA = T.StructType(
+    [f for f in EXTRACTED_WITH_SEQ_SCHEMA.fields if f.name != "blocks"]
 )
 
 CHUNK_SCHEMA = T.StructType(
@@ -122,9 +136,32 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    # 16g, not bigger: huge G1 heaps turn repeat-run shuffles into
+    # hundred-second GC storms (measured: 217s GC in a 48g heap's second
+    # identical run); real clusters cap per-executor heaps the same way
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # 32m G1 regions: shuffle rows / sort runs / Arrow-adjacent buffers
+    # are multi-MB byte[]s — "humongous" at G1's default region size,
+    # which bypasses young gen and caused 65s GC per 8M-turn job; with
+    # 32m regions the same job spends 14s in GC and runs 40% faster
+    java_opts = "-XX:G1HeapRegionSize=32m"
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+    if not local_dir:
+        shm = "/dev/shm/spark-tmp"
+        try:
+            os.makedirs(shm, exist_ok=True)
+            local_dir = shm  # shuffle to tmpfs: local-mode stand-in for NVMe
+        except OSError:
+            local_dir = "/tmp"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode: every "executor" thread shares the driver JVM —
+        # the 1g default heap GC-thrashes under 32 Arrow-batching tasks
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -149,6 +186,60 @@ def synth_transcripts_df(
     pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
     return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+
+def synth_transcripts_distributed(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    heavy_every: int = 50,
+    heavy_factor: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic synthesis for large corpora: conv ids
+    fan out via ``spark.range``; each partition generates its convs'
+    payloads inside an Arrow batch (same seeded blake2b generator as
+    ``synth_transcripts``, so conv contents are identical regardless of
+    which executor produces them)."""
+    from .payload import _h, _pick_flavor, make_payload  # deterministic kernels
+
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    roles = ["user", "assistant", "tool"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for c in pdf["id"]:
+                c = int(c)
+                n_turns = 3 + _h(seed, c, "len") % 18
+                if heavy_every and c % heavy_every == heavy_every - 1:
+                    n_turns *= heavy_factor
+                for t in range(n_turns):
+                    flavor = _pick_flavor(c, t, seed)
+                    rows.append(
+                        {
+                            "conv_id": f"conv_{c:06d}",
+                            "turn_idx": t,
+                            "role": roles[t % 3],
+                            "text": make_payload(flavor, _h(seed, c, t, "pay") % (2**31)),
+                            "tool": "opaque"
+                            if flavor == "opaque" and _h(seed, c, t) % 2 == 0
+                            else "",
+                            "ts": pd.Timestamp(
+                                1_700_000_000 + (c % 3650) * 86_400 + t * 60, unit="s"
+                            ),
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return (
+        spark.range(0, n_convs)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
+    )
 
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str, convs: int = 50) -> DataFrame:
@@ -176,50 +267,84 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str, convs: int = 50
     )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one out. All Python work
-    happens here, vectorized per batch (no per-row Spark UDF calls)."""
-    cols = [f.name for f in EXTRACTED_SCHEMA.fields]
-    for pdf in batches:
-        out: dict[str, list[Any]] = {c: [] for c in cols}
-        for conv_id, turn_idx, role, text, tool in zip(
-            pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"]
-        ):
-            res = extract_turn(text, int(turn_idx), tool)
-            out["conv_id"].append(conv_id)
-            out["turn_idx"].append(int(turn_idx))
-            out["role"].append(role)
-            out["source"].append(res["source"])
-            out["payload_type"].append(res["payload_type"])
-            out["is_fallback"].append(res["is_fallback"])
-            out["blocks"].append(res["blocks"])
-            out["extracted_text"].append(res["extracted_text"])
-            out["spans"].append(res["spans"])
-            out["n_blocks"].append(len(res["blocks"]))
-            out["n_spans"].append(len(res["spans"]))
-            out["n_chars"].append(len(res["extracted_text"]))
-        yield pd.DataFrame(out, columns=cols)
+def _make_extract_batches(include_blocks: bool = True):
+    """Build the mapInPandas kernel fn: one Arrow batch in, one out.
+    All Python work happens here, vectorized per batch (no per-row
+    Spark UDF calls). ``turn_seq`` (precomputed by the ordering window)
+    passes through; without it, the dense turn_idx+1 stands in
+    (streaming microbatches)."""
+    schema = EXTRACTED_WITH_SEQ_SCHEMA if include_blocks else EXTRACTED_SLIM_SCHEMA
+    cols = [f.name for f in schema.fields]
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            has_seq = "turn_seq" in pdf.columns
+            seqs = pdf["turn_seq"] if has_seq else pdf["turn_idx"]
+            out: dict[str, list[Any]] = {c: [] for c in cols}
+            for conv_id, turn_idx, role, text, tool, seq in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"], pdf["tool"], seqs
+            ):
+                res = extract_turn(text, int(turn_idx), tool)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                out["role"].append(role)
+                out["source"].append(res["source"])
+                out["payload_type"].append(res["payload_type"])
+                out["is_fallback"].append(res["is_fallback"])
+                if include_blocks:
+                    out["blocks"].append(res["blocks"])
+                out["extracted_text"].append(res["extracted_text"])
+                out["spans"].append(res["spans"])
+                out["n_blocks"].append(len(res["blocks"]))
+                out["n_tables"].append(
+                    sum(1 for b in res["blocks"] if b["type"] == "table")
+                )
+                out["n_spans"].append(len(res["spans"]))
+                out["n_chars"].append(len(res["extracted_text"]))
+                out["turn_seq"].append(int(seq) if has_seq else int(seq) + 1)
+            yield pd.DataFrame(out, columns=cols)
+
+    return extract_batches, schema
+
+
+# default full-schema kernel (streaming reuses this)
+_extract_batches = _make_extract_batches(include_blocks=True)[0]
 
 
 def extract_turns(
     transcripts: DataFrame,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     partitions: int | None = None,
+    include_blocks: bool = True,
 ) -> DataFrame:
-    """The hot path. Explicit salted repartition (north rule) so a
-    single million-turn conversation spreads across ``salt_buckets``
-    tasks, then ONE Arrow-batched kernel stage, then the stable-order
-    window (the only other shuffle)."""
+    """The hot path. Stable-order window FIRST on the narrow input
+    (conv_id, turn_idx -> turn_seq), then the explicit salted
+    repartition (north rule) so a single million-turn conversation
+    spreads across ``salt_buckets`` tasks, then ONE Arrow-batched
+    kernel stage.
+
+    Ordering the window before the kernel (instead of after) keeps the
+    heavy nested ``blocks``/``spans`` structs out of every shuffle: the
+    two exchanges move only the raw transcript rows. At 100 TB the
+    post-kernel output is ~2x the input width — sorting it through a
+    second shuffle was the old plan's dominant JVM cost (GC on nested
+    Arrow rows); turn_seq is identical either way."""
     if partitions is None:
-        partitions = int(
+        # 4 tasks per core for the Python-bound kernel stage: fine
+        # granularity smooths stragglers (a heavy conv's salt buckets
+        # land in different tasks) and keeps all workers busy to the end
+        partitions = 4 * int(
             transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    salted = transcripts.repartition(
+    order_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    with_seq = transcripts.withColumn(
+        "turn_seq", F.row_number().over(order_w).cast("int")
+    )
+    salted = with_seq.repartition(
         partitions, F.col("conv_id"), F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets))
     )
-    extracted = salted.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
-    order_w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return extracted.withColumn("turn_seq", F.row_number().over(order_w).cast("int"))
+    fn, schema = _make_extract_batches(include_blocks)
+    return salted.mapInPandas(fn, schema=schema)
 
 
 def fill_turn_gaps(extracted: DataFrame) -> DataFrame:
@@ -290,9 +415,7 @@ def conversation_metrics(extracted: DataFrame) -> DataFrame:
     return extracted.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.sum("n_blocks").alias("total_blocks"),
-        F.sum(
-            F.size(F.filter(F.col("blocks"), lambda b: b["type"] == F.lit("table")))
-        ).alias("total_tables"),
+        F.sum("n_tables").alias("total_tables"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_spans").alias("total_spans"),
         F.avg(F.col("is_fallback").cast("double")).alias("ocr_fallback_rate"),
@@ -311,6 +434,37 @@ def run_metrics(extracted: DataFrame) -> DataFrame:
         F.sum("n_spans").alias("spans_emitted"),
         F.sum("n_chars").alias("chars_extracted"),
         F.avg(F.col("is_fallback").cast("double")).alias("ocr_fallback_rate"),
+    )
+
+
+def export_documents_json(extracted: DataFrame) -> DataFrame:
+    """S3 JSON sink analogue (reference: save_to_json, src/pipeline.py:419-441
+    via Document.model_dump, src/models/schemas.py:99-101): one JSON
+    document per conversation, pages ordered by turn_idx. Built entirely
+    from to_json/collect_list — the JSON rendering never leaves the JVM."""
+    page = F.struct(
+        F.col("turn_idx").alias("page"),
+        F.col("source"),
+        F.col("blocks"),
+        F.col("extracted_text"),
+        F.col("spans"),
+    )
+    pages = F.array_sort(
+        F.collect_list(page)
+    )  # struct sort: first field turn_idx drives order
+    return (
+        extracted.groupBy("conv_id")
+        .agg(F.count("*").alias("total_pages"), pages.alias("pages"))
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.col("conv_id").alias("doc_id"),
+                    F.col("total_pages"),
+                    F.col("pages"),
+                )
+            ).alias("document_json"),
+        )
     )
 
 

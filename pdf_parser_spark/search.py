@@ -1,0 +1,174 @@
+"""Semantic-search surface: R7 k-NN + R8 keyword re-rank
+(reference: services/search/chroma_store.py:100-145 cosine query,
+services/search/service.py:34-65 fold/token/prefix re-rank filter,
+ingest_api/app.py:311-344 the /api/search composition).
+
+The reference embeds via an external HTTP model (non-deterministic for
+us), so the engine ships a *deterministic* hashed bag-of-words embedder
+(16-dim signed-random-projection of token counts — the same md5-parity
+trick as dataops.simhash): good enough to exercise the full search
+plan, swappable for a real model by replacing one stage. Everything is
+DataFrame-native (one shuffle for the doc vectors) and oracle-checked
+in DuckDB with the identical formula.
+
+Scale: the query side is a literal (broadcast by construction); doc
+vectors are built with 16 conditional-sum aggregates (map-side
+combine). Top-k is a single window over the filtered candidates. At
+100 TB the doc-vector table is precomputed once and reused across
+queries — expose ``doc_vectors`` separately for that.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EMBED_DIM = 16
+TOPK = 20
+DEFAULT_QUERY = "spark shuffle partition data layout"
+MIN_TOKEN_LEN = 4  # reference: service.py:34 tokens = [a-z0-9]{4,}
+
+
+def _fold(s: str) -> str:
+    """NFKD fold + lowercase — reference service.py:37-39."""
+    return (
+        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii").lower()
+    )
+
+
+def embed_text(text: str) -> list[float]:
+    """Driver-side twin of the Spark/DuckDB embedding formula:
+    v[d] = sum over tokens of tf * (+1 if bit d of md5[:4] else -1)."""
+    import re
+
+    v = [0.0] * EMBED_DIM
+    for tok in re.findall(r"[a-z0-9]+", _fold(text)):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+        for d in range(EMBED_DIM):
+            v[d] += 1.0 if (h >> d) & 1 else -1.0
+    return v
+
+
+def doc_vectors(docs: DataFrame) -> DataFrame:
+    """(doc_id, v0..v15) hashed-BoW vectors: explode tokens once, 16
+    conditional sums in ONE groupBy (partial agg map-side)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+            ).alias(f"v{d}")
+            for d in range(EMBED_DIM)
+        ]
+    )
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full search pipeline for a fixed query string: hashed-BoW cosine
+    (R7) -> keyword re-rank filter (R8: exact >=4-char token overlap OR
+    >=2 4-char-prefix overlaps, 1 if single-token query) -> top-20."""
+    query = DEFAULT_QUERY
+    qv = embed_text(query)
+    qnorm = sum(x * x for x in qv) ** 0.5
+    qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
+    qprefixes = sorted({t[:4] for t in qtoks})
+    need_prefix = 2 if len(qtoks) > 1 else 1
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = doc_vectors(docs)
+
+    dot = sum(F.col(f"v{d}") * F.lit(qv[d]) for d in range(EMBED_DIM))
+    dnorm = F.sqrt(sum(F.col(f"v{d}") * F.col(f"v{d}") for d in range(EMBED_DIM)))
+    scored = vecs.select(
+        "doc_id",
+        F.round(dot / (dnorm * F.lit(qnorm)), 6).alias("similarity"),
+    )
+
+    toks4 = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+            lambda t: F.length(t) >= MIN_TOKEN_LEN,
+        )
+    )
+    kw = docs.select(
+        "doc_id",
+        F.arrays_overlap(toks4, F.array(*[F.lit(t) for t in qtoks])).alias("exact_hit"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks4, lambda t: F.substring(t, 1, 4))),
+                F.array(*[F.lit(p) for p in qprefixes]),
+            )
+        ).alias("prefix_hits"),
+    )
+    candidates = scored.join(kw, "doc_id").filter(
+        F.col("exact_hit") | (F.col("prefix_hits") >= need_prefix)
+    )
+    w = Window.orderBy(F.desc("similarity"), F.asc("doc_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("rank", "doc_id", "similarity")
+    )
+
+
+def _sql_semantic_search() -> str:
+    query = DEFAULT_QUERY
+    qv = embed_text(query)
+    qnorm = sum(x * x for x in qv) ** 0.5
+    qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
+    qprefixes = sorted({t[:4] for t in qtoks})
+    need_prefix = 2 if len(qtoks) > 1 else 1
+    qtok_list = ", ".join(f"'{t}'" for t in qtoks)
+    qpref_list = ", ".join(f"'{p}'" for p in qprefixes)
+    dot = " + ".join(f"v{d} * ({qv[d]})" for d in range(EMBED_DIM))
+    dn = " + ".join(f"v{d} * v{d}" for d in range(EMBED_DIM))
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN ((('0x' || substr(md5(tok), 1, 4))::INT >> {d}) & 1) = 1 "
+        f"THEN 1.0 ELSE -1.0 END) AS v{d}"
+        for d in range(EMBED_DIM)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    vecs AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(({dot}) / (sqrt({dn}) * {qnorm}), 6) AS similarity
+        FROM vecs
+    ),
+    kw AS (
+        SELECT doc_id,
+               len(list_intersect(t4, [{qtok_list}])) > 0 AS exact_hit,
+               len(list_intersect(list_distinct(list_transform(t4, t -> substr(t, 1, 4))),
+                                  [{qpref_list}])) AS prefix_hits
+        FROM (SELECT doc_id,
+                     list_distinct(list_filter(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         t -> length(t) >= {MIN_TOKEN_LEN})) AS t4
+              FROM documents)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY similarity DESC, s.doc_id) AS BIGINT) AS rank,
+           s.doc_id, similarity
+    FROM scored s JOIN kw USING (doc_id)
+    WHERE exact_hit OR prefix_hits >= {need_prefix}
+    QUALIFY rank <= {TOPK}
+"""
+
+
+SEARCH_QUERIES = {"semantic_search": q_semantic_search}
+SEARCH_ORACLES = {"semantic_search": _sql_semantic_search()}
