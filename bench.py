@@ -162,13 +162,16 @@ def run_scaling(sf_dir: str) -> dict:
 
     _ensure_corpus()
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    n_small, n_big = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+    )
+    runs: dict[int, list[dict]] = {n_small: [], n_big: []}
     # INTERLEAVED legs (8,32,8,32,...): this sandbox VM's CPU throughput
     # swings ~2x over tens of minutes (host contention), so back-to-back
     # pairs + min-of-K per leg is the only defensible estimator of the
     # pipeline's own scaling behaviour.
     for _ in range(repeats):
-        for cores in (8, 32):
+        for cores in (n_small, n_big):
             cmd = [
                 "taskset", "-c", f"0-{cores - 1}",
                 sys.executable, os.path.abspath(__file__), "--scaling-leg", str(cores),
@@ -178,20 +181,180 @@ def run_scaling(sf_dir: str) -> dict:
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             runs[cores].append(json.loads(line))
     out = {}
-    for cores in (8, 32):
+    for cores in (n_small, n_big):
         best = min(runs[cores], key=lambda r: r["sec"])
         out[f"local[{cores}]"] = {
             **best,
             "all_runs_sec": [r["sec"] for r in runs[cores]],
         }
-    tps8 = out["local[8]"]["turns_per_sec"]
-    tps32 = out["local[32]"]["turns_per_sec"]
-    # efficiency = realized speedup / ideal speedup (4x)
-    out["scaling_efficiency"] = round((tps32 / tps8) / 4.0, 3)
+    tps_n = out[f"local[{n_small}]"]["turns_per_sec"]
+    tps_4n = out[f"local[{n_big}]"]["turns_per_sec"]
+    ideal = n_big / n_small
+    out["scaling_efficiency"] = round((tps_4n / tps_n) / ideal, 3)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cluster-mode scaling: a REAL local standalone cluster (separate master,
+# worker and executor JVMs, real shuffle between executors) — the faithful
+# emulation of "N vs 4N executors" from the north rule. Each worker JVM is
+# pinned to its own 4-core slice, so executor JVM + its python workers
+# share exactly that worker's cores, like a real cluster node.
+# ---------------------------------------------------------------------------
+
+EXECUTOR_CORES = 4
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(pyspark.__file__)
+
+
+def _start_master(procs: list) -> None:
+    import subprocess
+
+    procs.append(
+        subprocess.Popen(
+            [os.path.join(_spark_home(), "bin", "spark-class"),
+             "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8080"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env=dict(os.environ, SPARK_HOME=_spark_home()),
+        )
+    )
+    time.sleep(8)
+
+
+def _start_workers(procs: list, n_workers: int) -> None:
+    import subprocess
+
+    for w in range(n_workers):
+        lo, hi = w * EXECUTOR_CORES, (w + 1) * EXECUTOR_CORES - 1
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", f"{lo}-{hi}",
+                 os.path.join(_spark_home(), "bin", "spark-class"),
+                 "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                 "--cores", str(EXECUTOR_CORES), "--memory", "6g",
+                 "--webui-port", str(8100 + w)],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=dict(os.environ, SPARK_HOME=_spark_home(),
+                         SPARK_WORKER_CORES=str(EXECUTOR_CORES),
+                         SPARK_WORKER_MEMORY="6g"),
+            )
+        )
+    time.sleep(10)
+
+
+def _pyfiles_zip() -> str:
+    import subprocess
+
+    zip_path = "/tmp/pdf_parser_spark_pyfiles.zip"
+    if not os.path.exists(zip_path):
+        repo = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(["zip", "-rq", zip_path, "pdf_parser_spark"], cwd=repo, check=True)
+    return zip_path
+
+
+def run_cluster_leg(n_workers: int) -> dict:
+    """One cluster-size leg against the standalone master: n_workers
+    executors x 4 cores. Assumes master+workers already running."""
+    from pyspark.sql import SparkSession
+
+    total_cores = n_workers * EXECUTOR_CORES
+    spark = (
+        SparkSession.builder.master(MASTER_URL)
+        .appName(f"scaling_{n_workers}x{EXECUTOR_CORES}")
+        .config("spark.executor.cores", str(EXECUTOR_CORES))
+        .config("spark.executor.memory", "5g")
+        .config("spark.cores.max", str(total_cores))
+        .config("spark.submit.pyFiles", _pyfiles_zip())
+        .config("spark.sql.shuffle.partitions", str(4 * total_cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.local.dir", "/dev/shm/spark-tmp")
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        spark.sparkContext.addPyFile(_pyfiles_zip())
+        transcripts = spark.read.parquet(SCALING_CORPUS)
+        extract_turns(transcripts.limit(2000), include_blocks=False).count()  # warm
+        t0 = time.perf_counter()
+        extracted = extract_turns(
+            transcripts, partitions=4 * total_cores, include_blocks=False
+        )
+        turns = int(run_metrics(extracted).collect()[0]["turns_parsed"])
+        sec = time.perf_counter() - t0
+        return {
+            "workers": n_workers,
+            "executor_cores": EXECUTOR_CORES,
+            "total_cores": total_cores,
+            "sec": round(sec, 3),
+            "turns": turns,
+            "turns_per_sec": round(turns / sec, 1),
+            "turns_per_sec_per_core": round(turns / sec / total_cores, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def run_scaling_cluster() -> dict:
+    """The headline scaling evidence: the same job on a real (local)
+    standalone cluster at 2 executors vs 8 executors (8 vs 32 cores),
+    interleaved min-of-K to ride out host CPU variance."""
+    import subprocess
+
+    _ensure_corpus()
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    procs: list = []
+    runs: dict[int, list[dict]] = {2: [], 8: []}
+    try:
+        _start_master(procs)
+        _start_workers(procs, 8)  # superset; legs select via spark.cores.max
+        for _ in range(repeats):
+            for n_workers in (2, 8):
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--cluster-leg", str(n_workers)]
+                env = dict(os.environ,
+                           PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+                proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+                lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+                if lines:
+                    runs[n_workers].append(json.loads(lines[-1]))
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                p.kill()
+    out = {}
+    for n_workers in (2, 8):
+        best = min(runs[n_workers], key=lambda r: r["sec"])
+        out[f"{n_workers}x{EXECUTOR_CORES}"] = {
+            **best, "all_runs_sec": [r["sec"] for r in runs[n_workers]],
+        }
+    tps_n = out["2x4"]["turns_per_sec"]
+    tps_4n = out["8x4"]["turns_per_sec"]
+    out["scaling_efficiency"] = round((tps_4n / tps_n) / 4.0, 3)
     return out
 
 
 def main() -> None:
+    if "--cluster-leg" in sys.argv:
+        n_workers = int(sys.argv[sys.argv.index("--cluster-leg") + 1])
+        print(json.dumps(run_cluster_leg(n_workers)))
+        return
+    if "--scaling-cluster" in sys.argv:
+        print(json.dumps(run_scaling_cluster()))
+        return
     if "--scaling-leg" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--scaling-leg") + 1])
         print(json.dumps(run_scaling_leg(cores)))

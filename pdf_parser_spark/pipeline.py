@@ -333,9 +333,7 @@ def extract_turns(
         # 4 tasks per core for the Python-bound kernel stage: fine
         # granularity smooths stragglers (a heavy conv's salt buckets
         # land in different tasks) and keeps all workers busy to the end
-        partitions = 4 * int(
-            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        partitions = 4 * transcripts.sparkSession.sparkContext.defaultParallelism
     order_w = Window.partitionBy("conv_id").orderBy("turn_idx")
     with_seq = transcripts.withColumn(
         "turn_seq", F.row_number().over(order_w).cast("int")
