@@ -30,10 +30,16 @@ from pdf_parser_spark.pipeline import (
     transcripts_from_documents,
 )
 from pdf_parser_spark.queries import QUERIES as _RELATIONAL_QUERIES
+from pdf_parser_spark.search import SEARCH_QUERIES
 
-QUERIES = {**_RELATIONAL_QUERIES, **DATAOPS_QUERIES}
+QUERIES = {**_RELATIONAL_QUERIES, **DATAOPS_QUERIES, **SEARCH_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Bench opts in to tmpfs shuffle dirs (its shuffle volume is known to
+# fit); the engine default is /tmp — see pipeline.get_spark.
+if not os.environ.get("SPARK_GRAFT_LOCAL_DIR") and os.path.isdir("/dev/shm"):
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-tmp"
 
 # relational queries worth timing at sf0.1 (all of QUERIES is cheap
 # enough; keep the list explicit so bench stays stable across rounds)
@@ -49,6 +55,10 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "ngram_jaccard_dup",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "semantic_search",
+    "doc_fingerprint",
+    "token_count",
     "text_quality",
     "lang_id",
 ]
@@ -178,8 +188,13 @@ def run_scaling(sf_dir: str) -> dict:
             ]
             env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
             proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            runs[cores].append(json.loads(line))
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling leg cores={cores} failed "
+                    f"(rc={proc.returncode}): {proc.stderr[-2000:]}"
+                )
+            runs[cores].append(json.loads(lines[-1]))
     out = {}
     for cores in (n_small, n_big):
         best = min(runs[cores], key=lambda r: r["sec"])

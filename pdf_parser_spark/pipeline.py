@@ -145,14 +145,16 @@ def get_spark(
     # which bypasses young gen and caused 65s GC per 8M-turn job; with
     # 32m regions the same job spends 14s in GC and runs 40% faster
     java_opts = "-XX:G1HeapRegionSize=32m"
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
-    if not local_dir:
-        shm = "/dev/shm/spark-tmp"
-        try:
-            os.makedirs(shm, exist_ok=True)
-            local_dir = shm  # shuffle to tmpfs: local-mode stand-in for NVMe
-        except OSError:
-            local_dir = "/tmp"
+    # tmpfs shuffle dirs are OPT-IN (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...):
+    # /dev/shm is RAM-backed and capped at ~50% of memory, so a job whose
+    # spill exceeds that fails with ENOSPC instead of spilling to disk.
+    # Default stays /tmp (real disk); bench.py opts in because its
+    # shuffle volume is known-small.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "") or "/tmp"
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = "/tmp"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

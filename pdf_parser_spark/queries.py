@@ -45,10 +45,21 @@ def q_pagination_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak; Spark's TakeOrderedAndProject keeps it
     driver-light at scale."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # Sort-limit FIRST: orderBy().limit(30) compiles to
+    # TakeOrderedAndProject (per-partition top-30 + driver merge — no
+    # global sort, no single-partition window over the full table).
+    # Ranking then runs over 30 rows; partitionBy on a constant keeps
+    # WindowExec off the "no partition defined" path.
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(30)
+    # pmod(col, 1) == 0 always, but is NOT constant-folded, so the
+    # window keeps a partition spec (no single-partition WindowExec
+    # warning; the input is 30 rows in one partition already anyway)
+    w = Window.partitionBy(F.pmod(F.col("o_orderkey"), F.lit(1))).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
     return (
-        orders.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 30))
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") > 10)
         .select("rn", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
     )
 
@@ -90,7 +101,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 case-insensitive substring search (reference:
     document_store.py:137-157)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.lower(F.col("text")).contains("shuffle")).select(
+    return docs.filter(F.lower(F.col("text")).contains("slow fast")).select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -246,7 +257,7 @@ ORACLES: dict[str, str] = {
     """,
     "r6_keyword_search": """
         SELECT doc_id, lang, n_chars FROM documents
-        WHERE lower(text) LIKE '%shuffle%'
+        WHERE lower(text) LIKE '%slow fast%'
     """,
     "r9_enrichment_join": """
         SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -308,9 +319,11 @@ ORACLES: dict[str, str] = {
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+            -- CAST: DuckDB's sum() yields HUGEINT, which pandas turns
+            -- into float64 and breaks the cross-engine value hash
             SELECT user_id, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM gaps
         )
         SELECT user_id, session_id, count(*) AS n_events,

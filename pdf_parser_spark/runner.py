@@ -60,6 +60,43 @@ def _lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_run_manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def _check_manifest(out_dir: str, n_buckets: int) -> None:
+    """Resume safety: the conv->bucket mapping is pmod(hash(conv_id),
+    n_buckets) — resuming with a DIFFERENT n_buckets silently skips
+    buckets whose membership changed and merges stale dirs from the old
+    layout (duplicated/missing conversations, no error). Fail fast
+    instead; a deliberate re-layout must use a fresh out_dir."""
+    existing = read_manifest(out_dir)
+    if existing is None:
+        _write_manifest(out_dir, {"n_buckets": n_buckets, "version": 1})
+    elif existing.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"resume with n_buckets={n_buckets} but {out_dir} was written "
+            f"with n_buckets={existing.get('n_buckets')}; the conv->bucket "
+            "mapping differs — use the original value or a fresh out_dir"
+        )
+
+
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     path = _lineage_dir(out_dir)
     try:
@@ -98,6 +135,7 @@ def run_extraction(
     reference persists the traceback the same way,
     services/worker/ocr_worker.py:72-83) and the run raises.
     """
+    _check_manifest(out_dir, n_buckets)
     bucketed = with_bucket(transcripts, n_buckets)
     done = completed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -166,13 +204,16 @@ def run_extraction(
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the committed output across bucket dirs."""
-    paths = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("bucket=")
-    ]
-    return spark.read.parquet(*paths)
+    """Read the committed output across bucket dirs — restricted to the
+    manifest's bucket ids, so stale dirs from an older layout can never
+    merge into the result."""
+    manifest = read_manifest(out_dir)
+    if manifest is not None:
+        wanted = {f"bucket={b}" for b in range(int(manifest["n_buckets"]))}
+        names = [d for d in sorted(os.listdir(out_dir)) if d in wanted]
+    else:  # pre-manifest output (round-1 layout): read everything
+        names = [d for d in sorted(os.listdir(out_dir)) if d.startswith("bucket=")]
+    return spark.read.parquet(*[os.path.join(out_dir, d) for d in names])
 
 
 def summarize(summary: dict) -> str:

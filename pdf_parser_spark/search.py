@@ -39,6 +39,29 @@ def _fold(s: str) -> str:
     )
 
 
+# Engine-portable accent fold (the Spark/DuckDB analogue of _fold): an
+# explicit translate table for Latin-1 accents, then lowercase, then
+# strip any remaining non-ascii — which JOINS adjacent fragments just
+# like the reference's encode('ascii','ignore') does. Both engines run
+# the IDENTICAL table, so the cross-engine hash can't diverge on
+# unicode normalization differences.
+_FOLD_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+_FOLD_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+
+
+def _fold_col(col):
+    return F.regexp_replace(
+        F.lower(F.translate(col, _FOLD_SRC, _FOLD_DST)), "[^\\x00-\\x7F]", ""
+    )
+
+
+_SQL_FOLD = (
+    f"regexp_replace(lower(translate(text, '{_FOLD_SRC}', '{_FOLD_DST}')),"
+    " '[^\\x00-\\x7F]', '', 'g')"
+)
+
+
 def embed_text(text: str) -> list[float]:
     """Driver-side twin of the Spark/DuckDB embedding formula:
     v[d] = sum over tokens of tf * (+1 if bit d of md5[:4] else -1)."""
@@ -75,13 +98,16 @@ def doc_vectors(docs: DataFrame) -> DataFrame:
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full search pipeline for a fixed query string: hashed-BoW cosine
     (R7) -> keyword re-rank filter (R8: exact >=4-char token overlap OR
-    >=2 4-char-prefix overlaps, 1 if single-token query) -> top-20."""
+    >=need_prefix 4-char-prefix overlaps, where need_prefix counts the
+    query's DISTINCT prefixes — reference service.py:55: 1 if one
+    prefix else 2; both sides accent-folded per service.py:37-39) ->
+    top-20."""
     query = DEFAULT_QUERY
     qv = embed_text(query)
     qnorm = sum(x * x for x in qv) ** 0.5
     qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
     qprefixes = sorted({t[:4] for t in qtoks})
-    need_prefix = 2 if len(qtoks) > 1 else 1
+    need_prefix = 1 if len(qprefixes) == 1 else 2
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vecs = doc_vectors(docs)
@@ -95,7 +121,7 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks4 = F.array_distinct(
         F.filter(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+            F.regexp_extract_all(_fold_col(F.col("text")), F.lit("[a-z0-9]+"), 0),
             lambda t: F.length(t) >= MIN_TOKEN_LEN,
         )
     )
@@ -112,10 +138,16 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = scored.join(kw, "doc_id").filter(
         F.col("exact_hit") | (F.col("prefix_hits") >= need_prefix)
     )
-    w = Window.orderBy(F.desc("similarity"), F.asc("doc_id"))
+    # Sort-limit first (TakeOrderedAndProject: per-task top-20, no
+    # global single-partition window over all candidates), then rank
+    # the 20 survivors under a constant partition key.
+    order = [F.desc("similarity"), F.asc("doc_id")]
+    top = candidates.orderBy(*order).limit(TOPK)
+    # pmod(col, 1) == 0: non-foldable constant partition key, so the
+    # tiny post-limit window isn't flagged as a global window
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(*order)
     return (
-        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "similarity")
     )
 
@@ -126,7 +158,7 @@ def _sql_semantic_search() -> str:
     qnorm = sum(x * x for x in qv) ** 0.5
     qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
     qprefixes = sorted({t[:4] for t in qtoks})
-    need_prefix = 2 if len(qtoks) > 1 else 1
+    need_prefix = 1 if len(qprefixes) == 1 else 2
     qtok_list = ", ".join(f"'{t}'" for t in qtoks)
     qpref_list = ", ".join(f"'{p}'" for p in qprefixes)
     dot = " + ".join(f"v{d} * ({qv[d]})" for d in range(EMBED_DIM))
@@ -158,7 +190,7 @@ def _sql_semantic_search() -> str:
                                   [{qpref_list}])) AS prefix_hits
         FROM (SELECT doc_id,
                      list_distinct(list_filter(
-                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         regexp_extract_all({_SQL_FOLD}, '[a-z0-9]+'),
                          t -> length(t) >= {MIN_TOKEN_LEN})) AS t4
               FROM documents)
     )

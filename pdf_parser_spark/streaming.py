@@ -79,14 +79,20 @@ def stream_metrics(transcripts: DataFrame) -> DataFrame:
 
 
 def _with_ts(inner):
-    import pandas as pd
+    """Attach the input ``ts`` to the kernel output POSITIONALLY: the
+    extraction kernel emits exactly one output row per input row in
+    input order, so ts rides along by index. (A (conv_id, turn_idx)
+    merge would fan out on duplicated keys — replayed/duplicated ingest
+    files, exactly what streaming must tolerate — and double-count
+    every metric downstream.)"""
 
     def gen(batches):
         for pdf in batches:
-            ts = pdf[["conv_id", "turn_idx", "ts"]]
             for out in inner(iter([pdf])):
-                merged = out.merge(ts, on=["conv_id", "turn_idx"], how="left")
-                yield merged
+                assert len(out) == len(pdf), "kernel must be 1 row in : 1 row out"
+                out = out.copy()
+                out["ts"] = pdf["ts"].to_numpy()
+                yield out
 
     return gen
 

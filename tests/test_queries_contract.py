@@ -48,6 +48,15 @@ def test_query_matches_oracle(spark, ddb, name):
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    # dtype KIND must agree (int vs float): the driver hashes rendered
+    # values, so an oracle-side HUGEINT->float64 (4.0 vs 4) breaks the
+    # hash even when every value is numerically equal — exactly the
+    # round-1 sessionize_events failure mode.
+    for c in a.columns:
+        if a[c].dtype.kind in "iuf" or b[c].dtype.kind in "iuf":
+            ka = "f" if a[c].dtype.kind == "f" else "i"
+            kb = "f" if b[c].dtype.kind == "f" else "i"
+            assert ka == kb, f"{name}.{c}: dtype kind {a[c].dtype} vs {b[c].dtype}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
 
 

@@ -78,3 +78,28 @@ def test_resume_is_noop_when_complete(spark, transcripts, tmp_path):
     assert summary["buckets_processed"] == 0
     assert summary["buckets_resumed_skip"] == N_BUCKETS
     assert summary["turns_parsed"] == transcripts.count()
+
+
+def test_resume_with_different_n_buckets_fails_fast(spark, transcripts, tmp_path):
+    """The conv->bucket mapping depends on n_buckets; resuming with a
+    different value would silently duplicate/drop conversations — the
+    manifest guard must reject it."""
+    out = str(tmp_path / "relayout")
+    run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS * 2)
+
+
+def test_read_extracted_ignores_stale_bucket_dirs(spark, transcripts, tmp_path):
+    """A leftover bucket dir beyond the manifest's range (old layout)
+    must not merge into the result."""
+    out = str(tmp_path / "stale")
+    run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    clean = _text_map(read_extracted(spark, out))
+    # forge a stale dir from a hypothetical older, wider layout
+    import shutil
+
+    shutil.copytree(
+        os.path.join(out, "bucket=0"), os.path.join(out, f"bucket={N_BUCKETS + 3}")
+    )
+    assert _text_map(read_extracted(spark, out)) == clean
