@@ -18,7 +18,10 @@ Serialized formats
 pdf:    "%PDFW <w> <h>" header; one word per line "text\\tx0\\tx1\\ttop\\tbottom";
         optional table region "%TABLE x1 y1 x2 y2" .. rows of "a|b|c" .. "%ENDTABLE"
         (camelot-analogue, bbox already normalized & top-origin — the
-        reference flips camelot's Y on ingest at src/extractors/tables.py:70-75).
+        reference flips camelot's Y on ingest at src/extractors/tables.py:70-75);
+        optional image region "%IMG x0 x1 top bottom" (page units) — the
+        embedded-scan analogue feeding the C2/C3 digital/scan/hybrid
+        router (kernels/detector.py; reference src/detector.py:67-103).
 tess:   "%TESS " + JSON parallel-array dict (FIXTURES.md §4)
 doctr:  "%DOCTR " + JSON page tree (FIXTURES.md §4)
 opaque: "%BIN " + junk (or tool == 'opaque')
@@ -35,6 +38,7 @@ from typing import Any
 PDF_HEADER = "%PDFW"
 TABLE_MARK = "%TABLE"
 TABLE_END = "%ENDTABLE"
+IMG_MARK = "%IMG"
 TESS_MARK = "%TESS "
 DOCTR_MARK = "%DOCTR "
 OPAQUE_MARK = "%BIN"
@@ -64,10 +68,19 @@ def classify_payload(text: str | None, tool: str | None) -> str:
 
 def parse_pdf_payload(
     text: str,
-) -> tuple[list[dict[str, Any]], list[tuple[list[float], list[list[str]]]], float, float, str]:
+) -> tuple[
+    list[dict[str, Any]],
+    list[tuple[list[float], list[list[str]]]],
+    float,
+    float,
+    str,
+    list[list[float]],
+]:
     """Parse a pdf-flavor payload into pdfplumber-shaped word dicts
-    (L1 analogue) plus table regions. Returns (words, tables, width,
-    height, full_text) where each table is (normalized bbox, rows)."""
+    (L1 analogue) plus table regions and image regions. Returns
+    (words, tables, width, height, full_text, images) where each table
+    is (normalized bbox, rows) and each image is [x0, x1, top, bottom]
+    in page units (the C2 detector input, reference detector.py:85-95)."""
     lines = text.split("\n")
     header = lines[0].split()
     width = float(header[1]) if len(header) > 2 else 595.0
@@ -75,11 +88,16 @@ def parse_pdf_payload(
 
     words: list[dict[str, Any]] = []
     tables: list[tuple[list[float], list[list[str]]]] = []
+    images: list[list[float]] = []
     full_parts: list[str] = []
     i = 1
     while i < len(lines):
         line = lines[i]
-        if line.startswith(TABLE_MARK):
+        if line.startswith(IMG_MARK + " "):
+            parts = line.split()
+            if len(parts) == 5:
+                images.append([float(parts[1]), float(parts[2]), float(parts[3]), float(parts[4])])
+        elif line.startswith(TABLE_MARK):
             parts = line.split()
             tbbox = [float(parts[1]), float(parts[2]), float(parts[3]), float(parts[4])]
             rows: list[list[str]] = []
@@ -102,7 +120,7 @@ def parse_pdf_payload(
                 )
                 full_parts.append(f[0])
         i += 1
-    return words, tables, width, height, " ".join(full_parts)
+    return words, tables, width, height, " ".join(full_parts), images
 
 
 # ---------------------------------------------------------------------------

@@ -95,22 +95,18 @@ def doc_vectors(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full search pipeline for a fixed query string: hashed-BoW cosine
-    (R7) -> keyword re-rank filter (R8: exact >=4-char token overlap OR
+def rank_search(vecs: DataFrame, docs: DataFrame, query: str, topk: int = TOPK) -> DataFrame:
+    """The search pipeline over prepared inputs: hashed-BoW cosine (R7)
+    -> keyword re-rank filter (R8: exact >=4-char token overlap OR
     >=need_prefix 4-char-prefix overlaps, where need_prefix counts the
     query's DISTINCT prefixes — reference service.py:55: 1 if one
     prefix else 2; both sides accent-folded per service.py:37-39) ->
-    top-20."""
-    query = DEFAULT_QUERY
+    top-k. ``vecs`` is (doc_id, v0..v15); ``docs`` needs (doc_id, text)."""
     qv = embed_text(query)
     qnorm = sum(x * x for x in qv) ** 0.5
     qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
     qprefixes = sorted({t[:4] for t in qtoks})
     need_prefix = 1 if len(qprefixes) == 1 else 2
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    vecs = doc_vectors(docs)
 
     dot = sum(F.col(f"v{d}") * F.lit(qv[d]) for d in range(EMBED_DIM))
     dnorm = F.sqrt(sum(F.col(f"v{d}") * F.col(f"v{d}") for d in range(EMBED_DIM)))
@@ -138,11 +134,11 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = scored.join(kw, "doc_id").filter(
         F.col("exact_hit") | (F.col("prefix_hits") >= need_prefix)
     )
-    # Sort-limit first (TakeOrderedAndProject: per-task top-20, no
+    # Sort-limit first (TakeOrderedAndProject: per-task top-k, no
     # global single-partition window over all candidates), then rank
-    # the 20 survivors under a constant partition key.
+    # the k survivors under a constant partition key.
     order = [F.desc("similarity"), F.asc("doc_id")]
-    top = candidates.orderBy(*order).limit(TOPK)
+    top = candidates.orderBy(*order).limit(topk)
     # pmod(col, 1) == 0: non-foldable constant partition key, so the
     # tiny post-limit window isn't flagged as a global window
     w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(*order)
@@ -150,6 +146,46 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "similarity")
     )
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: embed the corpus on the fly and run the
+    full search pipeline for the fixed default query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rank_search(doc_vectors(docs), docs, DEFAULT_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# S6 vector-store sink (reference: services/search/chroma_store.py:60-98
+# add_chunks persists ids + embeddings + documents + metadata;
+# :100-145 query runs against the persisted collection). The Spark
+# analogue: write the (doc_id, text, v0..v15) index table ONCE, then
+# every query reads the index instead of re-embedding the corpus — at
+# 100 TB the embed+groupBy shuffle happens once per corpus version, not
+# once per query.
+# ---------------------------------------------------------------------------
+
+
+def write_search_index(docs: DataFrame, index_dir: str, mode: str = "overwrite") -> None:
+    """Persist the search index: doc text + hashed-BoW vectors, one row
+    per doc. Text rides along because the R8 keyword re-rank needs it
+    (chroma stores `documents` beside embeddings the same way)."""
+    index = docs.select("doc_id", "text").join(doc_vectors(docs), "doc_id")
+    index.write.mode(mode).parquet(index_dir)
+
+
+def load_search_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(index_dir)
+
+
+def search_index(
+    spark: SparkSession, index_dir: str, query: str = DEFAULT_QUERY, topk: int = TOPK
+) -> DataFrame:
+    """Query the persisted index: same ranking pipeline, zero
+    re-embedding — only the per-query scan + filter + top-k runs."""
+    idx = load_search_index(spark, index_dir)
+    vec_cols = ["doc_id"] + [f"v{d}" for d in range(EMBED_DIM)]
+    return rank_search(idx.select(*vec_cols), idx.select("doc_id", "text"), query, topk)
 
 
 def _sql_semantic_search() -> str:

@@ -151,9 +151,10 @@ class TestPayload:
 
     def test_pdf_roundtrip(self):
         payload = make_payload("pdf", 7)
-        words, tables, w, h, full = parse_pdf_payload(payload)
+        words, tables, w, h, full, images = parse_pdf_payload(payload)
         assert w == 595.0 and h == 842.0
         assert len(words) > 5 and all("x0" in wd for wd in words)
+        assert images == []  # synth pdf payloads carry no image regions
 
     def test_synth_deterministic(self):
         a = synth_transcripts(n_convs=5, seed=42)

@@ -10,6 +10,12 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+# Queries whose oracle is a pinned golden generated at the DRIVER's
+# correctness sf (0.01): the Spark side must run at that sf too.
+QUERY_SF = {
+    "extract_text_md5": "/root/testdata/sf0.01",
+    "extract_chunks_md5": "/root/testdata/sf0.01",
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -43,7 +49,7 @@ ALL_NAMES = sorted(entrymod.queries())
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     qs = entrymod.queries()
-    spark_pdf = qs[name](spark, SF_DIR).toPandas()
+    spark_pdf = qs[name](spark, QUERY_SF.get(name, SF_DIR)).toPandas()
     oracle_pdf = ddb.execute(entrymod.oracle_sql()[name]).df()
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch {a.columns} vs {b.columns}"
