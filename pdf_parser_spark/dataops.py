@@ -94,11 +94,21 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle groupBy + anti-join each time — measured as 74% of the
     round-1 bench total. MEMORY_AND_DISK so a 100x corpus spills
     instead of OOMing; at real cluster scale this is a write-once
-    shingle table (parquet/Iceberg) shared by the whole dedup suite."""
+    shingle table (parquet/Iceberg) shared by the whole dedup suite.
+
+    The explicit repartition defends against few-split inputs: a small
+    single parquet file scans as ONE partition, and without the
+    repartition the entire tokenize+shingle+md5 chain runs in a single
+    task (measured 28s of a 29s query at sf0.1). At 100 TB the scan has
+    thousands of splits and the repartition is a cheap narrow-row
+    shuffle that also evens out document-size skew before the explode
+    fans each doc into ~100s of shingle rows."""
     from pyspark import StorageLevel
 
+    par = spark.sparkContext.defaultParallelism
     sh = (
         _docs(spark, sf_dir)
+        .repartition(par)
         .select("doc_id", F.explode(_shingles_col(_tokens_col())).alias("s"))
     )
     hot = (
@@ -238,8 +248,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the weighted-bit sum. One shuffle (16 conditional-sum
     aggregates, map-side combined); exact-dup buckets via a window count
     on the fingerprint."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(_tokens_col()).alias("tok")
+    toks = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)  # few-split guard
+        .select("doc_id", F.explode(_tokens_col()).alias("tok"))
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
     votes = toks.groupBy("doc_id").agg(

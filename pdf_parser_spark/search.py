@@ -77,8 +77,10 @@ def embed_text(text: str) -> list[float]:
 
 def doc_vectors(docs: DataFrame) -> DataFrame:
     """(doc_id, v0..v15) hashed-BoW vectors: explode tokens once, 16
-    conditional sums in ONE groupBy (partial agg map-side)."""
-    toks = docs.select(
+    conditional sums in ONE groupBy (partial agg map-side). The
+    repartition guards few-split inputs (a single small parquet file
+    scans as one partition, serializing the explode)."""
+    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
