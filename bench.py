@@ -74,9 +74,14 @@ def _time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
 def run_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
-    # headline: extraction hot path over every document at this sf
-    t0 = time.perf_counter()
+    # headline: extraction hot path over every document at this sf.
+    # Warm-up first (same methodology as run_scaling_leg): spin up the
+    # JVM's first job, the Python workers, and the Arrow path on a
+    # small slice so the measured number is steady-state pipeline
+    # throughput, not process startup (~9s of a 12s cold run).
     transcripts = transcripts_from_documents(spark, sf_dir, convs=200)
+    extract_turns(transcripts.limit(300), include_blocks=False).count()
+    t0 = time.perf_counter()
     extracted = extract_turns(transcripts, include_blocks=False)
     metrics_row = run_metrics(extracted).collect()[0].asDict()
     extract_sec = time.perf_counter() - t0

@@ -150,4 +150,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub decode is pure deterministic arithmetic on sha256(payload),
+# so the metadata aggregate has a REAL cross-engine oracle: DuckDB
+# recomputes the identical seed/width/duration formulas from
+# sha256(text) (payload := utf-8 bytes of text, so sha256 agrees).
+# This upgrades multimodal from a rows-only check to a value-hashed
+# one; only the (future) real codec path is unverifiable by SQL.
+SQL_MULTIMODAL_META = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha,
+               CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) AS seed
+        FROM documents
+    ), d AS (
+        SELECT media_id, media_type, n_bytes, sha,
+               CASE media_type
+                    WHEN 'audio' THEN round(0.5 + (seed % 10000) / 100.0, 2)
+                    WHEN 'video' THEN round((24 + seed % 1000) / 24.0, 4)
+               END AS duration_s,
+               CASE media_type
+                    WHEN 'image' THEN 64 + seed % 512
+                    WHEN 'video' THEN 320 + (seed % 16) * 80
+               END AS width
+        FROM m
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(duration_s), 4) AS avg_duration_s,
+           round(avg(width), 4) AS avg_width,
+           CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct
+    FROM d GROUP BY media_type
+"""
+
 MULTIMODAL_QUERIES = {"multimodal_meta": q_multimodal_meta}
+MULTIMODAL_ORACLES = {"multimodal_meta": SQL_MULTIMODAL_META}
