@@ -97,6 +97,94 @@ def _with_ts(inner):
     return gen
 
 
+def stream_conversation_state(
+    transcripts: DataFrame, quiet_timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-
+    conversation running aggregates with a quiet-period timeout.
+
+    The reference's worker loop polls a queue and marks a job done when
+    its pages stop arriving (services/worker/run.py:23-38 + status
+    transitions, ingest_api/schemas.py:18-39). Streaming analogue:
+    state per ``conv_id`` accumulates (n_turns, n_chars, last_turn_idx)
+    across microbatches; every batch emits a progress row
+    (completed=false), and when a conversation stays quiet for
+    ``quiet_timeout_ms`` of processing time the state times out and a
+    final completed=true row is emitted, state dropped.
+
+    Scale: state lives in the state store partitioned by conv_id —
+    exactly the salting-exempt key (state must see every turn of a
+    conv); memory per key is 3 longs, so 10^9 live conversations fit
+    in ~100 executors' state stores.
+
+    Trigger note (measured): with pending processing-time timeouts the
+    query does NOT self-terminate under ``trigger(availableNow=True)``
+    — the engine keeps scheduling batches so the timeouts can fire.
+    Run it with a continuous trigger (e.g.
+    ``trigger(processingTime="1 second")``) and stop explicitly, as the
+    test does.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_turns", T.LongType(), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("last_turn_idx", T.IntegerType(), False),
+            T.StructField("completed", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType(), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("last_turn_idx", T.IntegerType(), False),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_chars, last_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n_turns],
+                    "n_chars": [n_chars],
+                    "last_turn_idx": [last_idx],
+                    "completed": [True],
+                }
+            )
+            return
+        n_turns, n_chars, last_idx = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().fillna(0).sum())
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, last_idx))
+        state.setTimeoutDuration(quiet_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "last_turn_idx": [last_idx],
+                "completed": [False],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_dir: str,

@@ -66,3 +66,86 @@ def test_stream_metrics_watermarked(spark, input_dir, tmp_path):
     total_turns = got.agg(F.sum("turns_parsed")).collect()[0][0]
     assert total_turns <= spark.read.parquet(input_dir).count()
     assert got.filter(F.col("turns_parsed") <= 0).count() == 0
+
+
+def test_stateful_conversation_tracking(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across microbatches
+    (progress rows), and a quiet conversation times out into a
+    completed=true row with state dropped. One continuous query: with
+    pending processing-time timeouts, availableNow never terminates."""
+    import time
+
+    from pdf_parser_spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdf_parser_spark.streaming import stream_conversation_state
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    all_rows = synth_transcripts_df(spark, n_convs=2).collect()
+    conv0 = sorted(
+        (r for r in all_rows if r["conv_id"] == "conv_000000"),
+        key=lambda r: r["turn_idx"],
+    )
+    half = len(conv0) // 2
+    QUIET_MS = 10_000
+    # 2 state-store partitions: per-microbatch overhead scales with the
+    # store count and this test ticks every second over 1 conv key
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    def rows_out(pred):
+        try:
+            return [r for r in spark.read.parquet(out).collect() if pred(r)]
+        except Exception:  # sink dir not created yet
+            return []
+
+    def wait_for(pred, timeout_s=150):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            got = rows_out(pred)
+            if got:
+                return got
+            time.sleep(2)
+        return []
+
+    write_batch(conv0[:half], "b1")
+    write_batch(conv0[half:], "b2")
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_conversation_state(stream, quiet_timeout_ms=QUIET_MS)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # state carry-over: a progress row reaches the full turn count
+        full = wait_for(
+            lambda r: r["conv_id"] == "conv_000000"
+            and not r["completed"]
+            and r["n_turns"] == len(conv0)
+        )
+        assert full, "state did not accumulate across microbatches"
+        # quiet period passes -> timeout fires -> completed row, once
+        done = wait_for(lambda r: r["conv_id"] == "conv_000000" and r["completed"])
+        assert len(done) == 1
+        assert done[0]["n_turns"] == len(conv0)
+        assert done[0]["n_chars"] == sum(len(r["text"] or "") for r in conv0)
+        assert done[0]["last_turn_idx"] == max(r["turn_idx"] for r in conv0)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
