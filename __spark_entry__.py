@@ -2,15 +2,15 @@
 
 ``entry`` runs the flagship extraction job on sf0.001; ``queries`` /
 ``oracle_sql`` expose the operator surface (SURVEY.md §2) for the
-sf0.01 DuckDB correctness gate. Extraction kernels are not
-SQL-expressible, so the extraction family is gated two ways: the
-``extract_*`` exploratory queries are rows-only, and the
-``extract_text_md5`` / ``extract_chunks_md5`` queries carry a HARD
-oracle — per-turn / per-chunk md5 checksums pinned to parquet under
-tests/golden/ by scripts/make_goldens.py (generated by the
-straight-line pure-Python kernel, no Spark), which the oracle SQL
-reads with read_parquet(). The pinned goldens are for the driver's
-correctness sf (0.01).
+sf0.01 DuckDB correctness gate. EVERY query carries an oracle.
+Extraction kernels are not SQL-expressible, so their oracles are
+kernel-generated goldens: scripts/make_goldens.py runs the
+straight-line pure-Python kernel (no Spark) over the documents->
+transcripts wrap and pins the full per-turn and per-chunk tables to
+parquet under tests/golden/; the extraction oracle SQL reads those
+files with read_parquet() (directly, or aggregated for metrics/
+gapfill). The pinned goldens are for the driver's correctness sf
+(0.01).
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return conversation_metrics(extracted).orderBy("conv_id")
 
 
-# --- extraction-family queries (rows-only checks: non-SQL kernels) ---
+# --- extraction-family queries (golden-parquet oracles; see above) ---
 
 
 def _q_extracted_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,18 +112,66 @@ _EXTRACTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_chunks_md5": _q_extract_chunks_md5,
 }
 
-# Oracles for the checksum queries: the golden parquet IS the expected
-# result (pinned at the driver's correctness sf). DuckDB reads it
-# directly — a hard rows+schema+value-hash gate on the extraction
-# pipeline.
+# Oracles for the extraction family: the kernel-generated golden
+# parquet IS the expected result (pinned at the driver's correctness
+# sf by scripts/make_goldens.py — single-process, no Spark). DuckDB
+# reads it directly (or aggregates it for the metrics/gapfill
+# queries), making every extraction query a hard
+# rows+schema+value-hash gate on the distributed pipeline.
+_TURNS_GOLDEN = f"read_parquet('{_GOLDEN_DIR}/extract_md5_sf0.01.parquet')"
+_CHUNKS_GOLDEN = f"read_parquet('{_GOLDEN_DIR}/chunks_md5_sf0.01.parquet')"
+
 _EXTRACTION_ORACLES: dict[str, str] = {
     "extract_text_md5": f"""
-        SELECT conv_id, turn_idx, text_md5
-        FROM read_parquet('{_GOLDEN_DIR}/extract_md5_sf0.01.parquet')
+        SELECT conv_id, turn_idx, text_md5 FROM {_TURNS_GOLDEN}
     """,
     "extract_chunks_md5": f"""
-        SELECT chunk_id, text_md5
-        FROM read_parquet('{_GOLDEN_DIR}/chunks_md5_sf0.01.parquet')
+        SELECT chunk_id, text_md5 FROM {_CHUNKS_GOLDEN}
+    """,
+    "extract_turns_docs": f"""
+        SELECT conv_id, turn_idx, turn_seq, role, source, payload_type,
+               is_fallback, n_blocks, n_spans, n_chars, extracted_text
+        FROM {_TURNS_GOLDEN}
+    """,
+    "extract_conv_metrics": f"""
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(n_blocks) AS BIGINT) AS total_blocks,
+               CAST(sum(n_tables) AS BIGINT) AS total_tables,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_spans) AS BIGINT) AS total_spans,
+               avg(CASE WHEN is_fallback THEN 1.0 ELSE 0.0 END) AS ocr_fallback_rate,
+               min(turn_idx) AS first_turn,
+               max(turn_idx) AS last_turn
+        FROM {_TURNS_GOLDEN} GROUP BY conv_id
+    """,
+    "extract_run_metrics": f"""
+        SELECT CAST(count(*) AS BIGINT) AS turns_parsed,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS conversations,
+               CAST(sum(n_blocks) AS BIGINT) AS blocks_emitted,
+               CAST(sum(n_spans) AS BIGINT) AS spans_emitted,
+               CAST(sum(n_chars) AS BIGINT) AS chars_extracted,
+               avg(CASE WHEN is_fallback THEN 1.0 ELSE 0.0 END) AS ocr_fallback_rate
+        FROM {_TURNS_GOLDEN}
+    """,
+    "extract_chunks": f"""
+        SELECT chunk_id, document_id, source_file, page_number,
+               block_id, block_type, text, confidence
+        FROM {_CHUNKS_GOLDEN}
+    """,
+    # the gapfill query drops turn_idx % 7 == 3 then restores the spine:
+    # surviving max turn m -> m+1 filled rows, of which the gaps are the
+    # i in [0, m] with i % 7 == 3, i.e. (m-3)//7 + 1 for m >= 3
+    "extract_gapfill": f"""
+        WITH holey AS (
+            SELECT conv_id, turn_idx FROM {_TURNS_GOLDEN} WHERE turn_idx % 7 <> 3
+        ), mx AS (
+            SELECT conv_id, max(turn_idx) AS m FROM holey GROUP BY conv_id
+        )
+        SELECT conv_id,
+               CAST(m + 1 AS BIGINT) AS n_turns_filled,
+               CAST(CASE WHEN m >= 3 THEN (m - 3) // 7 + 1 ELSE 0 END AS BIGINT) AS n_gaps
+        FROM mx
     """,
 }
 

@@ -5,11 +5,12 @@ The driver's correctness gate can only hash SQL-expressible results, so
 the extraction family (regex/layout kernels) was rows-only in round 1.
 This script closes that: it runs the PURE-PYTHON kernel (no Spark) over
 the same documents->transcripts wrap the driver queries use, and pins
-per-turn and per-chunk md5 checksums to parquet under tests/golden/.
-The `extract_text_md5` / `extract_chunks_md5` oracle SQL then reads
-these files with read_parquet(), giving the driver a hard value-hash
-check of the distributed pipeline against an independently generated
-(single-process, straight-line) artifact.
+the FULL per-turn table and per-chunk table to parquet under
+tests/golden/. The extraction-family oracle SQL then reads these files
+with read_parquet() (directly, or aggregated for the metrics/gapfill
+queries), giving the driver hard value-hash checks of the distributed
+pipeline against an independently generated (single-process,
+straight-line) artifact.
 
 The kernel itself is verified against the reference's per-page logic by
 the tests/test_kernels_* suites; this golden pins that behavior across
@@ -39,6 +40,7 @@ GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
 )
 CONVS = 50  # mirrors pipeline.transcripts_from_documents default
+ROLES = ["user", "assistant", "tool"]
 
 
 def _wrap_rows(sf_dir: str):
@@ -59,26 +61,59 @@ def _wrap_rows(sf_dir: str):
 
 def make(sf_dir: str) -> None:
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    turn_rows = {"conv_id": [], "turn_idx": [], "text_md5": []}
-    chunk_rows = {"chunk_id": [], "text_md5": []}
+    turn_rows: dict[str, list] = defaultdict(list)
+    chunk_rows: dict[str, list] = defaultdict(list)
     for conv_id, turn_idx, text in _wrap_rows(sf_dir):
         res = extract_turn(text, turn_idx, "")
-        turn_rows["conv_id"].append(conv_id)
-        turn_rows["turn_idx"].append(turn_idx)
-        turn_rows["text_md5"].append(
+        t = turn_rows
+        t["conv_id"].append(conv_id)
+        t["turn_idx"].append(turn_idx)
+        # the wrap's turn_idx is dense by construction -> turn_seq = idx+1
+        t["turn_seq"].append(turn_idx + 1)
+        t["role"].append(ROLES[turn_idx % 3])
+        t["source"].append(res["source"])
+        t["payload_type"].append(res["payload_type"])
+        t["is_fallback"].append(res["is_fallback"])
+        t["n_blocks"].append(len(res["blocks"]))
+        t["n_tables"].append(sum(1 for b in res["blocks"] if b["type"] == "table"))
+        t["n_spans"].append(len(res["spans"]))
+        t["n_chars"].append(len(res["extracted_text"]))
+        t["extracted_text"].append(res["extracted_text"])
+        t["text_md5"].append(
             hashlib.md5(res["extracted_text"].encode("utf-8")).hexdigest()
         )
         for ch in build_chunks_for_turn(conv_id, turn_idx, res["blocks"]):
-            chunk_rows["chunk_id"].append(ch["chunk_id"])
+            for k in (
+                "chunk_id",
+                "document_id",
+                "source_file",
+                "page_number",
+                "block_id",
+                "block_type",
+                "text",
+            ):
+                chunk_rows[k].append(ch[k])
+            chunk_rows["confidence"].append(float(ch["confidence"]))
             chunk_rows["text_md5"].append(
                 hashlib.md5(ch["text"].encode("utf-8")).hexdigest()
             )
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    i32 = pa.int32()
     turns = pa.table(
         {
             "conv_id": pa.array(turn_rows["conv_id"], pa.string()),
-            "turn_idx": pa.array(turn_rows["turn_idx"], pa.int32()),
+            "turn_idx": pa.array(turn_rows["turn_idx"], i32),
+            "turn_seq": pa.array(turn_rows["turn_seq"], i32),
+            "role": pa.array(turn_rows["role"], pa.string()),
+            "source": pa.array(turn_rows["source"], pa.string()),
+            "payload_type": pa.array(turn_rows["payload_type"], pa.string()),
+            "is_fallback": pa.array(turn_rows["is_fallback"], pa.bool_()),
+            "n_blocks": pa.array(turn_rows["n_blocks"], i32),
+            "n_tables": pa.array(turn_rows["n_tables"], i32),
+            "n_spans": pa.array(turn_rows["n_spans"], i32),
+            "n_chars": pa.array(turn_rows["n_chars"], i32),
+            "extracted_text": pa.array(turn_rows["extracted_text"], pa.string()),
             "text_md5": pa.array(turn_rows["text_md5"], pa.string()),
         }
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
@@ -86,11 +121,18 @@ def make(sf_dir: str) -> None:
     chunks = pa.table(
         {
             "chunk_id": pa.array(chunk_rows["chunk_id"], pa.string()),
+            "document_id": pa.array(chunk_rows["document_id"], pa.string()),
+            "source_file": pa.array(chunk_rows["source_file"], pa.string()),
+            "page_number": pa.array(chunk_rows["page_number"], i32),
+            "block_id": pa.array(chunk_rows["block_id"], pa.string()),
+            "block_type": pa.array(chunk_rows["block_type"], pa.string()),
+            "text": pa.array(chunk_rows["text"], pa.string()),
+            "confidence": pa.array(chunk_rows["confidence"], pa.float64()),
             "text_md5": pa.array(chunk_rows["text_md5"], pa.string()),
         }
     ).sort_by([("chunk_id", "ascending")])
     pq.write_table(chunks, os.path.join(GOLDEN_DIR, f"chunks_md5_{sf_name}.parquet"))
-    print(f"{sf_name}: {turns.num_rows} turn checksums, {chunks.num_rows} chunk checksums")
+    print(f"{sf_name}: {turns.num_rows} turn rows, {chunks.num_rows} chunk rows")
 
 
 if __name__ == "__main__":

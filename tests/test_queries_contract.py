@@ -13,8 +13,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # Queries whose oracle is a pinned golden generated at the DRIVER's
 # correctness sf (0.01): the Spark side must run at that sf too.
 QUERY_SF = {
-    "extract_text_md5": "/root/testdata/sf0.01",
-    "extract_chunks_md5": "/root/testdata/sf0.01",
+    name: "/root/testdata/sf0.01"
+    for name in (
+        "extract_text_md5",
+        "extract_chunks_md5",
+        "extract_turns_docs",
+        "extract_conv_metrics",
+        "extract_run_metrics",
+        "extract_chunks",
+        "extract_gapfill",
+    )
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
