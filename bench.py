@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_dup",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "semantic_search",
     "doc_fingerprint",
     "token_count",

@@ -28,9 +28,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_lsh_planes_deterministic_and_balanced():
-    p1, p2 = _lsh_planes(), _lsh_planes()
+    p1, p2 = _lsh_planes(0), _lsh_planes(0)
     assert p1 == p2
-    assert len(p1) == 8 and all(len(r) == 64 for r in p1)
+    assert p1 != _lsh_planes(1)  # per-table seeding
+    assert len(p1) == 4 and all(len(r) == 64 for r in p1)
     for row in p1:
         pos = sum(1 for x in row if x > 0)
         assert 16 <= pos <= 48  # md5 parity should be roughly balanced
@@ -105,3 +106,25 @@ def test_media_pipeline_schema_and_counts(spark):
     meta = q_multimodal_meta(spark, SF_DIR).toPandas()
     assert set(meta["media_type"]) == {"image", "audio", "video"}
     assert (meta["n_media"] > 0).all()
+
+
+def test_ann_recall_floors(spark):
+    """Approximate paths must stay useful: recall@5 vs brute force.
+    Measured at sf0.001: LSH (8 tables x 4 planes) 0.72, IVF
+    (16 lists, nprobe 4) 0.64 — floors leave margin for data drift."""
+    from pdf_parser_spark.dataops import q_ann_ivf_topk
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_cosine_topk(spark, SF_DIR).filter(F.col("rank") <= 5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_lsh_topk(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    assert len(brute & lsh) / len(brute) >= 0.5
+    assert len(brute & ivf) / len(brute) >= 0.4
