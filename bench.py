@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "semantic_search",
     "doc_fingerprint",
     "token_count",
+    "corpus_filter",
     "text_quality",
     "lang_id",
 ]

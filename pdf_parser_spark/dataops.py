@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -504,21 +506,41 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB shape: the explode multiplies only (vec_id, bucket) keys
     by L, the query side stays broadcast, and each table's buckets are
-    an equi-join — never a quadratic compare."""
+    an equi-join — never a quadratic compare.
+
+    The 32 plane projections are ONE Arrow-batched numpy matmul per
+    batch (a vectorized pandas UDF): the pure-expression version (32
+    zip_with+aggregate lambda chains per row) measured 14 s at sf0.1 vs
+    ~2 s for the matmul — this is precisely the case where built-in
+    higher-order functions can't express the computation efficiently.
+    The >0 sign decision matches the SQL oracle's sequential
+    list_dot_product because projections are O(1)-magnitude sums —
+    float-order divergence only matters within ~1e-13 of zero."""
+    # 64 x (L*K) plane matrix, built driver-side from the same seeds
+    # the oracle inlines
+    plane_mat = np.array(
+        [row for t in range(LSH_N_TABLES) for row in _lsh_planes(t)], dtype=np.float64
+    ).T
+    pow2 = 1 << np.arange(LSH_N_PLANES, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def lsh_buckets(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())  # batch x 64
+        bits = (m @ plane_mat) > 0  # batch x (L*K)
+        out = np.stack(
+            [
+                bits[:, t * LSH_N_PLANES : (t + 1) * LSH_N_PLANES].astype(np.int64) @ pow2
+                for t in range(LSH_N_TABLES)
+            ],
+            axis=1,
+        )  # batch x L
+        return pd.Series(list(out))
+
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                _bucket_expr(F.col("v"), _lsh_planes(t)).alias("b"),
-            )
-            for t in range(LSH_N_TABLES)
-        ]
-    )
-    eb = e.select("vec_id", "v", F.explode(buckets).alias("tb")).select(
-        "vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    eb = e.select(
+        "vec_id", "v", F.posexplode(lsh_buckets(F.col("v"))).alias("t", "b")
     )
     q = eb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "b"
@@ -864,6 +886,57 @@ SQL_DOC_FINGERPRINT = """
 
 
 # ---------------------------------------------------------------------------
+# Composite: the end-to-end training-data cleaning pipeline
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.5
+DUP_JACCARD_MIN = 0.5
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data cleaning pass a 100 TB pipeline
+    actually runs: quality floor AND language gate AND near-dup
+    removal, in one plan. Keeps a doc iff quality_score >= 0.5, the
+    stopword language vote says 'en', and it is not the dropped side
+    (doc_b) of any minhash near-dup pair with jaccard >= 0.5 (keep-min
+    policy — doc_a < doc_b by construction, so the smallest doc_id of a
+    dup cluster survives).
+
+    Plan shape: quality + lang are narrow maps joined on doc_id; the
+    dup side reuses the bucketed minhash path; the removal is a
+    broadcast anti-join (dup list is a tiny fraction of the corpus)."""
+    qual = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    dups = (
+        q_minhash_near_dup(spark, sf_dir)
+        .filter(F.col("jaccard") >= DUP_JACCARD_MIN)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        qual.join(lang, "doc_id")
+        .filter((F.col("quality_score") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
+        .join(F.broadcast(dups), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+# DuckDB supports WITH inside parenthesized subqueries, so the three
+# component oracles compose verbatim.
+SQL_CORPUS_FILTER = f"""
+    SELECT q.doc_id, q.n_tokens, q.quality_score
+    FROM ({SQL_TEXT_QUALITY}) q
+    JOIN ({SQL_LANG_ID}) l USING (doc_id)
+    WHERE q.quality_score >= {QUALITY_MIN}
+      AND l.lang_pred = 'en'
+      AND q.doc_id NOT IN (
+          SELECT doc_b FROM ({SQL_MINHASH_NEAR_DUP})
+          WHERE jaccard >= {DUP_JACCARD_MIN}
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -879,6 +952,7 @@ DATAOPS_QUERIES = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_filter": q_corpus_filter,
 }
 
 DATAOPS_ORACLES = {
@@ -893,4 +967,5 @@ DATAOPS_ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "corpus_filter": SQL_CORPUS_FILTER,
 }
