@@ -46,7 +46,9 @@ if not os.environ.get("SPARK_GRAFT_LOCAL_DIR") and os.path.isdir("/dev/shm"):
 BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q14",
     "r1_dedup_hash",
     "r9_enrichment_join",
     "window_running_total",
@@ -61,6 +63,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_count",
     "corpus_filter",
+    "embedding_kmeans",
     "text_quality",
     "lang_id",
 ]

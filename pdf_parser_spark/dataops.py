@@ -886,6 +886,100 @@ SQL_DOC_FINGERPRINT = """
 
 
 # ---------------------------------------------------------------------------
+# Clustering: deterministic spherical k-means (2 unrolled Lloyd steps)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = IVF_N_CENTROIDS  # reuse the fixed deterministic seed vectors
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding table with exactly TWO
+    unrolled Lloyd iterations (assign -> mean -> re-assign), seeded by
+    the same fixed vectors as the IVF centroids so both engines agree
+    without random init. Iterative ML on a DataFrame engine: each
+    iteration is one broadcast join (centroids are tiny) + one argmax
+    window + one per-(cluster, dim) mean — the shuffle carries only
+    k x 64 partial sums thanks to map-side combine. A production run
+    loops this same pair of stages to convergence; unrolling keeps the
+    result SQL-expressible for the oracle."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = e.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE)
+        & (F.col("vec_id") < IVF_CENTROID_BASE + KMEANS_K)
+    ).select((F.col("vec_id") - IVF_CENTROID_BASE).alias("cent_id"), F.col("v").alias("cv"))
+
+    cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = e.join(F.broadcast(cents)).withColumn("ccos", cos)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "v", F.col("cent_id").alias("cluster"), "ccos")
+        )
+
+    a1 = assign(c0)
+    # per-(cluster, dim) mean -> rebuilt centroid arrays (sort_array on
+    # (d, x) structs restores dimension order deterministically)
+    c1 = (
+        a1.select("cluster", F.posexplode("v").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cent_id"), "cv")
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), F.round("ccos", 6).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_KMEANS = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id - {IVF_CENTROID_BASE} AS cent_id, v AS cv FROM e
+           WHERE vec_id >= {IVF_CENTROID_BASE}
+             AND vec_id < {IVF_CENTROID_BASE + KMEANS_K}),
+    s1 AS (
+        SELECT vec_id, v, cent_id,
+               list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cent_id) AS r
+        FROM e CROSS JOIN c0
+    ),
+    a1 AS (SELECT vec_id, v, cent_id AS cluster FROM s1 WHERE r = 1),
+    dims AS (
+        SELECT cluster, i AS d, avg(v[i]) AS x
+        FROM a1, range(1, {EMB_DIM + 1}) t(i)
+        GROUP BY cluster, i
+    ),
+    c1 AS (SELECT cluster AS cent_id, list(x ORDER BY d) AS cv FROM dims GROUP BY cluster),
+    s2 AS (
+        SELECT vec_id, cent_id,
+               list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        cent_id) AS r
+        FROM e CROSS JOIN c1
+    )
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster, round(ccos, 6) AS cosine
+    FROM s2 WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Composite: the end-to-end training-data cleaning pipeline
 # ---------------------------------------------------------------------------
 
@@ -953,6 +1047,7 @@ DATAOPS_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "corpus_filter": q_corpus_filter,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 DATAOPS_ORACLES = {
@@ -968,4 +1063,5 @@ DATAOPS_ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "corpus_filter": SQL_CORPUS_FILTER,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }

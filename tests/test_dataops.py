@@ -128,3 +128,16 @@ def test_ann_recall_floors(spark):
     }
     assert len(brute & lsh) / len(brute) >= 0.5
     assert len(brute & ivf) / len(brute) >= 0.4
+
+
+def test_kmeans_partition_properties(spark):
+    """Every vector lands in exactly one cluster; the seeded clustering
+    is non-degenerate (more than one populated cluster)."""
+    from pdf_parser_spark.dataops import q_embedding_kmeans
+
+    km = q_embedding_kmeans(spark, SF_DIR).toPandas()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(km) == n_vecs
+    assert km["vec_id"].is_unique
+    assert km["cluster"].nunique() > 1
+    assert (km["cosine"] <= 1.000001).all()
