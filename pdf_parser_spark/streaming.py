@@ -97,6 +97,20 @@ def _with_ts(inner):
     return gen
 
 
+def stream_dedup_turns(transcripts: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming ingest dedup: duplicated/replayed input files (the
+    failure mode streaming must tolerate — e.g. an at-least-once
+    upstream) are dropped on the (conv_id, turn_idx, ts) key with
+    bounded state via ``dropDuplicatesWithinWatermark``: the engine
+    keeps each key only until the watermark passes ``within`` of its
+    event time, so state can't grow with the corpus. Batch analogue:
+    R1/S8 hash dedup (queries.q_dedup_hash); the reference's 409-on-
+    duplicate upload check (services/ingest_api/app.py:171-215)."""
+    return transcripts.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def stream_conversation_state(
     transcripts: DataFrame, quiet_timeout_ms: int = 30 * 60 * 1000
 ) -> DataFrame:

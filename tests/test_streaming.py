@@ -149,3 +149,39 @@ def test_stateful_conversation_tracking(spark, tmp_path):
         q.stop()
         q.awaitTermination(60)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_stream_dedup_drops_replayed_files(spark, tmp_path):
+    """The same input file ingested twice (at-least-once upstream) must
+    yield each (conv_id, turn_idx) exactly once downstream."""
+    from pdf_parser_spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdf_parser_spark.streaming import stream_dedup_turns, stream_extract
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    rows = synth_transcripts_df(spark, n_convs=4).collect()
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA).coalesce(1)
+    df.write.parquet(os.path.join(src, "b1"))
+    df.write.parquet(os.path.join(src, "b1_replay"))  # exact duplicate batch
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # replay arrives as a separate microbatch
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_extract(stream_dedup_turns(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert len(keys) == len(set(keys)) == len(rows)
