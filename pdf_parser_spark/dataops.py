@@ -886,6 +886,94 @@ SQL_DOC_FINGERPRINT = """
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprint: Rabin-Karp rolling hash + minimum sampling
+# ---------------------------------------------------------------------------
+
+WINNOW_GRAM = 8  # char 8-grams
+WINNOW_WINDOW = 4  # pick the min hash of every 4 consecutive grams
+WINNOW_B = 257
+WINNOW_M = 2**31 - 1
+_WINNOW_P = [pow(WINNOW_B, WINNOW_GRAM - 1 - j, WINNOW_M) for j in range(WINNOW_GRAM)]
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): polynomial rolling hash over character 8-grams
+    (base 257 mod 2^31-1, powers precomputed driver-side and inlined in
+    both engines), then minimum-sampling — keep the min hash of every
+    4-gram window — distinct + sort + md5 for a compact per-doc
+    signature. Guarantees any shared substring of length
+    GRAM+WINDOW-1 = 11 chars contributes a shared selected hash, the
+    property bottom-k sketches (q_doc_fingerprint) lack. Pure column
+    expressions, zero shuffle."""
+    # CAST to BIGINT first: int32 * int32 overflows under ANSI mode
+    terms = " + ".join(
+        f"CAST(ascii(substring(t, i + {j}, 1)) AS BIGINT) * {_WINNOW_P[j]}"
+        for j in range(WINNOW_GRAM)
+    )
+    # Spark's sequence(1, 0) is DESCENDING [1, 0] — guard short docs
+    hashes = (
+        f"CASE WHEN length(t) >= {WINNOW_GRAM} THEN "
+        f"transform(sequence(1, length(t) - {WINNOW_GRAM - 1}), i -> ({terms}) % {WINNOW_M}) "
+        f"ELSE array() END"
+    )
+    wins = (
+        f"CASE WHEN size(h) >= {WINNOW_WINDOW} THEN "
+        f"transform(sequence(1, size(h) - {WINNOW_WINDOW - 1}), "
+        f"w -> array_min(slice(h, w, {WINNOW_WINDOW}))) ELSE array() END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lower(text) AS t")
+        .selectExpr("doc_id", f"{hashes} AS h")
+        .selectExpr("doc_id", "size(h) AS n_grams", f"{wins} AS wins")
+        .selectExpr(
+            "doc_id",
+            "CAST(n_grams AS BIGINT) AS n_grams",
+            "array_sort(array_distinct(wins)) AS sel",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "CAST(size(sel) AS BIGINT) AS n_selected",
+            "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
+        )
+    )
+
+
+def _sql_doc_winnow_fingerprint() -> str:
+    terms = " + ".join(
+        f"CAST(ascii(t[i + {j}]) AS BIGINT) * {_WINNOW_P[j]}"
+        for j in range(WINNOW_GRAM)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(t) - {WINNOW_GRAM - 1}, 0) + 1),
+                              i -> ({terms}) % {WINNOW_M}) AS h
+        FROM base
+    ),
+    ws AS (
+        SELECT doc_id, len(h) AS n_grams,
+               CASE WHEN len(h) >= {WINNOW_WINDOW} THEN
+                    list_transform(range(1, len(h) - {WINNOW_WINDOW - 1} + 1),
+                                   w -> list_min(h[w:w + {WINNOW_WINDOW - 1}]))
+                    ELSE [] END AS wins
+        FROM hs
+    ),
+    sel AS (
+        SELECT doc_id, n_grams, list_sort(list_distinct(wins)) AS sel FROM ws
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ',')) AS fingerprint
+    FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Clustering: deterministic spherical k-means (2 unrolled Lloyd steps)
 # ---------------------------------------------------------------------------
 
@@ -1046,6 +1134,7 @@ DATAOPS_QUERIES = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
 }
@@ -1062,6 +1151,7 @@ DATAOPS_ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }

@@ -141,3 +141,28 @@ def test_kmeans_partition_properties(spark):
     assert km["vec_id"].is_unique
     assert km["cluster"].nunique() > 1
     assert (km["cosine"] <= 1.000001).all()
+
+
+def test_winnow_fingerprint_properties(spark):
+    """Identical text -> identical fingerprint; any text change ->
+    different fingerprint (w.h.p.); docs shorter than GRAM chars have
+    no grams at all."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.dataops import q_doc_winnow_fingerprint
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy cat again and again",
+        3: "tiny",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_doc_winnow_fingerprint(spark, td).toPandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_selected"] == 0
+    assert out.loc[0, "n_selected"] <= out.loc[0, "n_grams"]
