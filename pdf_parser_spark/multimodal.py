@@ -150,6 +150,111 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 224, 224
+FRAME_SAMPLE_N = 4
+
+
+def resize_images(decoded: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H) -> DataFrame:
+    """Resize stage (images/videos only): a narrow Arrow-batched map
+    emitting target dims + a letterbox scale factor. The pixel resample
+    itself needs PIL (absent by design) — the stub computes the REAL
+    geometry (aspect-preserving scale, letterbox padding) so the plan,
+    schema, and batch shape match a production resize exactly; only the
+    pixel buffer is omitted."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("src_width", T.IntegerType(), True),
+            T.StructField("src_height", T.IntegerType(), True),
+            T.StructField("dst_width", T.IntegerType(), False),
+            T.StructField("dst_height", T.IntegerType(), False),
+            T.StructField("scale", T.DoubleType(), True),
+            T.StructField("pad_x", T.IntegerType(), True),
+            T.StructField("pad_y", T.IntegerType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.media_type not in ("image", "video") or r.width is None:
+                    continue
+                scale = min(width / r.width, height / r.height)
+                dw, dh = int(r.width * scale), int(r.height * scale)
+                rows.append(
+                    {
+                        "media_id": int(r.media_id),
+                        "media_type": r.media_type,
+                        "src_width": int(r.width),
+                        "src_height": int(r.height),
+                        "dst_width": width,
+                        "dst_height": height,
+                        "scale": round(scale, 6),
+                        "pad_x": (width - dw) // 2,
+                        "pad_y": (height - dh) // 2,
+                    }
+                )
+            cols = [f.name for f in out_schema.fields]
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame({c: [] for c in cols})
+
+    return decoded.mapInPandas(gen, schema=out_schema)
+
+
+def sample_frames(decoded: DataFrame, n_frames: int = FRAME_SAMPLE_N) -> DataFrame:
+    """Frame-sampling stage (videos): uniformly pick ``n_frames`` frame
+    indices across each video's n_frames span and emit one row per
+    sampled frame with a deterministic per-frame feature (stub for the
+    decoded frame tensor). Index formula: floor(i * total / n) for
+    i in 0..n-1 — the arithmetic is real and oracle-checked; only the
+    pixel decode is stubbed. Output explodes inside the Arrow batch, so
+    blobs never cross a shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("ts_s", T.DoubleType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.media_type != "video" or r.n_frames is None:
+                    continue
+                total = int(r.n_frames)
+                k = min(n_frames, total)
+                for i in range(k):
+                    idx = (i * total) // n_frames
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "frame_no": i,
+                            "frame_index": idx,
+                            "ts_s": round(idx / 24.0, 6),
+                        }
+                    )
+            cols = [f.name for f in out_schema.fields]
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame({c: [] for c in cols})
+
+    return decoded.mapInPandas(gen, schema=out_schema)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked frame sampling: every video yields its uniformly
+    sampled frame indices/timestamps."""
+    frames = sample_frames(decode_media(media_table(spark, sf_dir)))
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.col("frame_index").cast("int").alias("frame_index"),
+        "ts_s",
+    )
+
+
 # The stub decode is pure deterministic arithmetic on sha256(payload),
 # so the metadata aggregate has a REAL cross-engine oracle: DuckDB
 # recomputes the identical seed/width/duration formulas from
@@ -185,5 +290,28 @@ SQL_MULTIMODAL_META = """
     FROM d GROUP BY media_type
 """
 
-MULTIMODAL_QUERIES = {"multimodal_meta": q_multimodal_meta}
-MULTIMODAL_ORACLES = {"multimodal_meta": SQL_MULTIMODAL_META}
+# Frame sampling is the same deterministic arithmetic (n_frames from
+# the sha256 seed, uniform index formula), so it is oracle-checked too.
+SQL_MULTIMODAL_FRAMES = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) AS seed
+        FROM documents WHERE doc_id % 3 + 1 = 3
+    ), v AS (
+        SELECT media_id, 24 + seed % 1000 AS total FROM m
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_no,
+           CAST((i * total) // {FRAME_SAMPLE_N} AS INT) AS frame_index,
+           round(((i * total) // {FRAME_SAMPLE_N}) / 24.0, 6) AS ts_s
+    FROM v, range({FRAME_SAMPLE_N}) t(i)
+"""
+
+MULTIMODAL_QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+}
+MULTIMODAL_ORACLES = {
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+}

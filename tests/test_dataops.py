@@ -166,3 +166,37 @@ def test_winnow_fingerprint_properties(spark):
     assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
     assert out.loc[3, "n_grams"] == 0 and out.loc[3, "n_selected"] == 0
     assert out.loc[0, "n_selected"] <= out.loc[0, "n_grams"]
+
+
+def test_resize_geometry(spark):
+    """Aspect-preserving letterbox geometry: scale = min of ratios,
+    padding centers the scaled image; only image/video rows resize."""
+    from pdf_parser_spark.multimodal import resize_images
+
+    decoded = decode_media(media_table(spark, SF_DIR))
+    rs = resize_images(decoded).toPandas()
+    assert set(rs["media_type"]) <= {"image", "video"}
+    assert (rs["dst_width"] == 224).all() and (rs["dst_height"] == 224).all()
+    for r in rs.itertuples():
+        expect = min(224 / r.src_width, 224 / r.src_height)
+        assert abs(r.scale - round(expect, 6)) < 1e-9
+        assert 0 <= r.pad_x <= 112 and 0 <= r.pad_y <= 112
+        # at least one axis is tight (letterbox pads only the other)
+        assert r.pad_x == 0 or r.pad_y == 0
+
+
+def test_frame_sampling_uniform(spark):
+    """Every video emits FRAME_SAMPLE_N frames with monotone indices
+    inside [0, n_frames)."""
+    from pdf_parser_spark.multimodal import FRAME_SAMPLE_N, sample_frames
+
+    decoded = decode_media(media_table(spark, SF_DIR))
+    vids = decoded.filter(F.col("media_type") == "video").toPandas().set_index("media_id")
+    fr = sample_frames(decoded).toPandas()
+    per = fr.groupby("media_id")
+    assert (per.size() == FRAME_SAMPLE_N).all()
+    for mid, grp in per:
+        total = int(vids.loc[mid, "n_frames"])
+        idx = grp.sort_values("frame_no")["frame_index"].tolist()
+        assert idx == sorted(idx)
+        assert all(0 <= i < total for i in idx)
