@@ -1,0 +1,79 @@
+"""Custom join operators Spark's API lacks, built as compositions of
+DataFrame primitives (SURVEY.md §2.9 engine-surface extras; the graft
+brief's canonical example of an operator to re-express Spark-first).
+
+AS-OF JOIN: for every left row, attach the single most recent right
+row with right.ts <= left.ts within the same key — the time-series
+point-in-time lookup (market data, state reconstruction, attribution).
+DuckDB/kdb have it built in; Spark does not. The scalable pattern used
+here is union + tagged ordering + last-non-null window:
+
+1. union the two sides with a side tag (right=0, left=1);
+2. one window per key ordered by (ts, side): ``last(right_cols,
+   ignorenulls=True)`` over unbounded-preceding..current carries the
+   latest right values forward (right sorts before left on ts ties, so
+   the match is inclusive, matching ASOF's <=);
+3. keep only left rows.
+
+Cost: ONE shuffle of left+right on the key — same asymptotics as a
+regular join, with none of the range-join quadratic blowup. Skewed
+keys: salt the key and replicate right rows per salt (not done here;
+events keys are uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_prefix: str = "prior_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains ``right_prefix``-named
+    copies of the right side's non-key columns from the most recent
+    right row with ``right.ts <= left.ts`` on the same ``on`` key
+    (NULLs when no prior right row exists).
+
+    ``right`` must be unique per (on, ts) — dedupe upstream, otherwise
+    which duplicate wins is tie-order-dependent in any engine.
+    """
+    r_cols = [c for c in right.columns if c not in (on, ts)]
+    tagged_r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in r_cols],
+        F.col(ts).alias(f"{right_prefix}{ts}"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns if c not in (on, ts)],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}") for c in r_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias(f"{right_prefix}{ts}"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in (on, ts)],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = Window.partitionBy(on).orderBy(ts, "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = unioned.select(
+        on,
+        ts,
+        "_side",
+        *[F.col(f"_l_{c}") for c in left.columns if c not in (on, ts)],
+        *[
+            F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
+            for c in r_cols + [ts]
+        ],
+    )
+    out_left = [F.col(f"_l_{c}").alias(c) for c in left.columns if c not in (on, ts)]
+    return carried.filter(F.col("_side") == 1).select(
+        on, ts, *out_left, *[f"{right_prefix}{c}" for c in r_cols + [ts]]
+    )

@@ -279,6 +279,34 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN surface (SURVEY.md §2.9 extras; joins.asof_join):
+    every error event attached to the same user's most recent purchase
+    at-or-before it (point-in-time attribution). One shuffle on
+    user_id; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    union+window composition is checked against a first-class
+    implementation."""
+    from .joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(errors, purchases, on="user_id", ts="ts")
+    return joined.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.col("prior_event_id").alias("prior_event_id"),
+        F.round("prior_value", 4).alias("prior_value"),
+        F.date_format("prior_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_ts"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -359,6 +387,18 @@ ORACLES: dict[str, str] = {
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
+    "events_asof_join": """
+        SELECT l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+               l.event_id,
+               round(l.value, 4) AS value,
+               r.event_id AS prior_event_id,
+               round(r.value, 4) AS prior_value,
+               strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS prior_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "tpch_q5": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -416,6 +456,7 @@ QUERIES = {
     "r6_keyword_search": q_keyword_search,
     "r9_enrichment_join": q_enrichment_join,
     "r10_totals_aggregate": q_totals_aggregate,
+    "events_asof_join": q_events_asof_join,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
