@@ -27,6 +27,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """RANGE JOIN (point-in-interval) without the nested-loop trap:
+    Spark compiles a plain ``p.ts >= i.start AND p.ts < i.end``
+    condition to BroadcastNestedLoopJoin (quadratic). The scalable
+    pattern: explode each interval into the coarse time buckets it
+    covers, bucket each point, equi-join on (key, bucket) — a hash
+    join — then apply the exact range filter to the surviving
+    candidates. Bucket width trades replication factor (intervals span
+    len/bucket_seconds buckets) against candidate precision; with
+    day buckets a 3-day interval replicates 3-4x, nothing quadratic.
+
+    Both inputs need the ``on`` key; intervals are [start, end).
+    Returns points x matching intervals (inner)."""
+    ibuckets = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start) / bucket_seconds).cast("long"),
+                F.floor((F.unix_timestamp(end) - 1) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    pbuckets = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(point_ts) / bucket_seconds).cast("long")
+    )
+    return (
+        pbuckets.join(ibuckets, [on, "_bucket"])
+        .filter((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

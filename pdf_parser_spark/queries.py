@@ -307,6 +307,51 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN surface (joins.bucketed_range_join): error events
+    falling inside the 3-day window after any same-user purchase.
+    Day-bucket explode -> (user, bucket) hash equi-join -> exact range
+    filter; the oracle is DuckDB's plain inequality join, so the
+    bucketed rewrite is checked against the naive semantics."""
+    from .joins import bucketed_range_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("end_ts"),
+    )
+    joined = bucketed_range_join(errors, purchases, on="user_id")
+    return joined.select(
+        "user_id",
+        "error_event_id",
+        "purchase_event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: day-bucketed aggregates with
+    month subtotals and a grand total in ONE pass (GROUP BY ROLLUP —
+    Catalyst expands the grouping sets; a hypertable's continuous
+    aggregate ladder day->month->total)."""
+    events = _t(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return bucketed.rollup("month", "day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -387,6 +432,26 @@ ORACLES: dict[str, str] = {
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
     """,
+    "events_range_join": """
+        SELECT e.user_id,
+               e.event_id AS error_event_id,
+               p.event_id AS purchase_event_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts
+         AND e.ts < p.ts + INTERVAL 3 DAY
+    """,
+    "events_rollup": """
+        SELECT strftime(ts, '%Y-%m') AS month,
+               strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (month, day)
+    """,
     "events_asof_join": """
         SELECT l.user_id,
                strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
@@ -457,6 +522,8 @@ QUERIES = {
     "r9_enrichment_join": q_enrichment_join,
     "r10_totals_aggregate": q_totals_aggregate,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
+    "events_rollup": q_events_rollup,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,

@@ -3,6 +3,8 @@ carry across multiple left rows."""
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 import pytest
 from pyspark.sql import types as T
 
@@ -54,3 +56,35 @@ def test_latest_prior_wins(joined):
 
 def test_left_rows_preserved(joined):
     assert len(joined) == 4
+
+
+def test_bucketed_range_join_boundaries(spark):
+    """[start, end) semantics survive the bucketing rewrite, including
+    intervals spanning bucket boundaries."""
+    from pdf_parser_spark.joins import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1),     # == start -> in
+            ("a", _ts(30), 2),    # inside -> in
+            ("b", _ts(30), 3),    # other key -> out
+        ],
+        SCHEMA,
+    ).withColumnRenamed("val", "pid")
+    intervals = spark.createDataFrame(
+        [("a", _ts(0), 7)], SCHEMA
+    ).select(
+        "k",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 40 SECONDS")).alias("end_ts"),
+        F.col("val").alias("iid"),
+    )
+    # tiny buckets force the interval to span several buckets
+    out = bucketed_range_join(
+        points, intervals, on="k", bucket_seconds=10
+    ).collect()
+    got = {(r["k"], r["pid"]) for r in out}
+    assert got == {("a", 1), ("a", 2)}
+    # end-exclusive: a point exactly at end_ts must not match
+    edge = spark.createDataFrame([("a", _ts(40), 9)], SCHEMA).withColumnRenamed("val", "pid")
+    assert bucketed_range_join(edge, intervals, on="k", bucket_seconds=10).count() == 0
