@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "r9_enrichment_join",
     "window_running_total",
     "sessionize_events",
+    "events_asof_join",
+    "events_range_join",
+    "events_rollup",
+    "kmv_distinct_users",
     "minhash_near_dup",
     "simhash_dedup",
     "ngram_jaccard_dup",
@@ -61,6 +65,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "semantic_search",
     "doc_fingerprint",
+    "doc_winnow_fingerprint",
     "token_count",
     "corpus_filter",
     "embedding_kmeans",

@@ -886,6 +886,74 @@ SQL_DOC_FINGERPRINT = """
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch: deterministic approximate distinct counting
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type: hash each
+    user_id with md5, keep the K smallest distinct hash fractions u in
+    [0,1); estimate = (K-1)/u_K (Bar-Yossef et al.). Unlike HLL
+    (approx_count_distinct), the md5-based KMV is bit-identical across
+    engines, so the SKETCH ITSELF is oracle-checked, not just its
+    error bound. Plan: one groupBy carrying only K hashes per group
+    (sort_array + slice on the collected distinct mins — at cluster
+    scale swap collect_list for a proper bounded accumulator /
+    partial-merge UDAF; group count here is tiny). Exact count rides
+    along to show the estimation error."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("double") / F.lit(float(16**15))
+    )
+    per_key = (
+        events.select("event_type", F.col("user_id"), frac.alias("u"))
+        .groupBy("event_type", "user_id")
+        .agg(F.first("u").alias("u"))
+    )
+    sk = per_key.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("u")), 1, KMV_K).alias("mins"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    kth = F.element_at("mins", KMV_K)
+    est = F.when(
+        F.size("mins") < KMV_K, F.size("mins").cast("double")
+    ).otherwise((KMV_K - 1) / kth)
+    return sk.select(
+        "event_type",
+        F.round(est, 4).alias("kmv_estimate"),
+        "exact_distinct",
+        F.round(F.element_at("mins", 1), 10).alias("min_hash"),
+    )
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+    WITH per_key AS (
+        SELECT event_type, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   / CAST({16**15} AS DOUBLE) AS u
+        FROM events GROUP BY event_type, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 / CAST({16**15} AS DOUBLE)
+    ),
+    sk AS (
+        SELECT event_type,
+               (list_sort(list(u)))[1:{KMV_K}] AS mins,
+               count(DISTINCT user_id) AS exact_distinct
+        FROM per_key GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN len(mins) < {KMV_K} THEN CAST(len(mins) AS DOUBLE)
+                      ELSE ({KMV_K} - 1) / mins[{KMV_K}] END, 4) AS kmv_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(mins[1], 10) AS min_hash
+    FROM sk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprint: Rabin-Karp rolling hash + minimum sampling
 # ---------------------------------------------------------------------------
 
@@ -1135,6 +1203,7 @@ DATAOPS_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+    "kmv_distinct_users": q_kmv_distinct_users,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
 }
@@ -1152,6 +1221,7 @@ DATAOPS_ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }
