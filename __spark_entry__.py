@@ -91,6 +91,28 @@ def _q_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_spans_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-oracle span-offset check (the north-rule contract is text
+    AND span offsets per turn): md5 of the canonical
+    "block_id:start:end;..." rendering of the spans array, computed
+    JVM-side with transform+concat_ws (no Python UDF), vs the same
+    digest pinned by the straight-line kernel in the golden."""
+    extracted = extract_turns(
+        transcripts_from_documents(spark, sf_dir), salt_buckets=16, include_blocks=False
+    )
+    span_str = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            ":", s["block_id"], s["start"].cast("string"), s["end"].cast("string")
+        ),
+    )
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.concat_ws(";", span_str)).alias("spans_md5"),
+    )
+
+
 def _q_extract_chunks_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-oracle chunker check (K1-K5): per-chunk md5 vs the pinned
     golden."""
@@ -109,6 +131,7 @@ _EXTRACTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_chunks": _q_extraction_chunks,
     "extract_gapfill": _q_extraction_gapfill,
     "extract_text_md5": _q_extract_text_md5,
+    "extract_spans_md5": _q_extract_spans_md5,
     "extract_chunks_md5": _q_extract_chunks_md5,
 }
 
@@ -124,6 +147,9 @@ _CHUNKS_GOLDEN = f"read_parquet('{_GOLDEN_DIR}/chunks_md5_sf0.01.parquet')"
 _EXTRACTION_ORACLES: dict[str, str] = {
     "extract_text_md5": f"""
         SELECT conv_id, turn_idx, text_md5 FROM {_TURNS_GOLDEN}
+    """,
+    "extract_spans_md5": f"""
+        SELECT conv_id, turn_idx, spans_md5 FROM {_TURNS_GOLDEN}
     """,
     "extract_chunks_md5": f"""
         SELECT chunk_id, text_md5 FROM {_CHUNKS_GOLDEN}

@@ -82,6 +82,17 @@ def make(sf_dir: str) -> None:
         t["text_md5"].append(
             hashlib.md5(res["extracted_text"].encode("utf-8")).hexdigest()
         )
+        # span-offset digest: the north-rule per-turn contract is text
+        # AND span offsets; canonical rendering "block_id:start:end"
+        # joined by ';' (empty span list -> md5("")), reproduced
+        # Spark-side with transform+concat_ws (no Python UDF)
+        t["spans_md5"].append(
+            hashlib.md5(
+                ";".join(
+                    f"{s['block_id']}:{s['start']}:{s['end']}" for s in res["spans"]
+                ).encode("utf-8")
+            ).hexdigest()
+        )
         for ch in build_chunks_for_turn(conv_id, turn_idx, res["blocks"]):
             for k in (
                 "chunk_id",
@@ -115,6 +126,7 @@ def make(sf_dir: str) -> None:
             "n_chars": pa.array(turn_rows["n_chars"], i32),
             "extracted_text": pa.array(turn_rows["extracted_text"], pa.string()),
             "text_md5": pa.array(turn_rows["text_md5"], pa.string()),
+            "spans_md5": pa.array(turn_rows["spans_md5"], pa.string()),
         }
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     pq.write_table(turns, os.path.join(GOLDEN_DIR, f"extract_md5_{sf_name}.parquet"))

@@ -16,6 +16,7 @@ QUERY_SF = {
     name: "/root/testdata/sf0.01"
     for name in (
         "extract_text_md5",
+        "extract_spans_md5",
         "extract_chunks_md5",
         "extract_turns_docs",
         "extract_conv_metrics",
