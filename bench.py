@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "text_quality",
     "lang_id",
+    "contamination_check",
+    "span_dedup",
+    "events_pivot",
 ]
 
 

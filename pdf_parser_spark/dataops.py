@@ -73,21 +73,21 @@ def _tokens_col():
     return F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
 
 
-def _shingles_col(toks):
-    """Distinct word 3-grams. Guarded: sequence(0, n-3) is descending for
-    n<3 in Spark, so short docs get an explicit empty array."""
+def _ngrams_col(toks, n: int):
+    """Distinct word n-grams. Guarded: sequence(0, size-n) is descending
+    for size<n in Spark, so short docs get an explicit empty array."""
     gram = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
     )
-    return F.when(F.size(toks) >= 3, F.array_distinct(gram)).otherwise(
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _shingles_col(toks):
+    """Distinct word 3-grams (the dedup-suite shingle unit)."""
+    return _ngrams_col(toks, 3)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,6 +1207,206 @@ SQL_CORPUS_FILTER = f"""
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+
+# Real pipelines test 8-13-gram overlap against eval benchmarks (GPT-3
+# appendix C / PaLM-style decontamination). The synthetic corpus draws
+# from a ~30-word vocabulary, so bigrams are the smallest unit that
+# yields a non-vacuous overlap distribution at test scale; n is a
+# config knob, the plan is identical at any n.
+CONTAM_N = 2
+CONTAM_BENCH_MOD = 97  # "benchmark" docs: doc_id % 97 == 0 (deterministic holdout)
+CONTAM_THRESHOLD = 0.3  # ~70th pctile of the synthetic ratio distribution -> a real split
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: per corpus doc, the fraction of its distinct
+    n-grams that also occur in a benchmark/holdout set (docs with
+    doc_id % 97 == 0 stand in for an eval suite). Contaminated docs
+    must be dropped before pretraining.
+
+    Scale: the benchmark gram set is tiny relative to the corpus (eval
+    suites are MBs vs TBs) -> built once, broadcast; the corpus side is
+    a narrow explode + broadcast semi-join + one groupBy(doc_id) —
+    the corpus never shuffles on the gram key. Zero-hit docs are kept
+    via a left join against the per-doc gram counts (computed at array
+    level, before the explode, so empty docs cost nothing)."""
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    grams_arr = _ngrams_col(_tokens_col(), CONTAM_N)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench_g = (
+        docs.filter(is_bench)
+        .select(F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    base = docs.filter(~is_bench).select(
+        "doc_id", F.size(grams_arr).cast("long").alias("n_grams")
+    )
+    hits = (
+        docs.filter(~is_bench)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .join(F.broadcast(bench_g), "g", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    ratio = F.round(
+        F.coalesce(F.col("n_hits"), F.lit(0)) / F.greatest(F.col("n_grams"), F.lit(1)), 6
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            ratio.alias("contamination"),
+            (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+SQL_CONTAMINATION_CHECK = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(toks) - {CONTAM_N - 1}, 0)),
+                   i -> {" || ' ' || ".join(f"toks[i+{k+1}]" for k in range(CONTAM_N))}
+               )) AS gs
+        FROM toks
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+        FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+              WHERE doc_id % {CONTAM_BENCH_MOD} <> 0)
+        WHERE g IN (SELECT g FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_grams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0 / greatest(b.n_grams, 1), 6)
+               AS contamination,
+           round(coalesce(h.n_hits, 0) * 1.0 / greatest(b.n_grams, 1), 6)
+               >= {CONTAM_THRESHOLD} AS contaminated
+    FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicate-span removal (C4/RefinedWeb-style exact dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_DEDUP_KEEP_MAX = 0.5
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span dedup: a doc's 3-gram is a duplicate if a
+    LOWER doc_id also contains it (first-occurrence-wins, the C4 rule
+    at span granularity). Per doc: distinct grams, duplicated grams,
+    dup_ratio, and the keep verdict (dup_ratio <= 0.5).
+
+    Scale: one groupBy(gram) with a map-side-combinable min(doc_id) —
+    the canonical first-writer-wins reduction — then one co-partitioned
+    join back on the gram key and one groupBy(doc_id). Hot grams (the
+    skew risk) are exactly the most-duplicated ones, so no df cap here;
+    at cluster scale the min-agg absorbs them map-side and the join
+    fans a hot gram to only as many rows as docs containing it — the
+    same O(corpus) as the input."""
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    grams = docs.select(
+        "doc_id", F.explode(_ngrams_col(_tokens_col(), 3)).alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    ratio = F.round(F.col("n_dup") / F.col("n_grams"), 6)
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") > F.col("first_doc")).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            ratio.alias("dup_ratio"),
+            (ratio <= SPAN_DEDUP_KEEP_MAX).alias("keep"),
+        )
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 2, 0)),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               ))) AS g
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents)
+    ),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS dup_ratio,
+           round(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) <= {SPAN_DEDUP_KEEP_MAX} AS keep
+    FROM grams JOIN first USING (g)
+    GROUP BY grams.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot surface (wide-format counts; Catalyst rewrites to one aggregate)
+# ---------------------------------------------------------------------------
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide counts) as ONE conditional aggregate: per-user
+    event counts as columns. ``df.groupBy().pivot(col, values)`` is the
+    sugar API but compiles to TWO exchanges (a (user,type) count, then
+    pivotfirst on user — verified via explain); the conditional-count
+    form below is the scale-correct rewrite: a single shuffle on
+    user_id with map-side partial aggregation, identical results. The
+    fixed value list is required either way — pivot without values
+    runs an extra distinct-scan job to discover the columns."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in PIVOT_EVENT_TYPES
+        ]
+    )
+
+
+SQL_EVENTS_PIVOT = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dedup": q_simhash_dedup,
@@ -1223,6 +1423,9 @@ DATAOPS_QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
+    "contamination_check": q_contamination_check,
+    "span_dedup": q_span_dedup,
+    "events_pivot": q_events_pivot,
 }
 
 DATAOPS_ORACLES = {
@@ -1241,4 +1444,7 @@ DATAOPS_ORACLES = {
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
+    "span_dedup": SQL_SPAN_DEDUP,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }

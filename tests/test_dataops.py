@@ -200,3 +200,49 @@ def test_frame_sampling_uniform(spark):
         idx = grp.sort_values("frame_no")["frame_index"].tolist()
         assert idx == sorted(idx)
         assert all(0 <= i < total for i in idx)
+
+
+def test_contamination_check_properties(spark):
+    """Benchmark docs (doc_id % 97 == 0) never appear in the output;
+    ratios live in [0,1]; zero-gram docs are retained with ratio 0."""
+    from pdf_parser_spark.dataops import CONTAM_BENCH_MOD, q_contamination_check
+
+    out = q_contamination_check(spark, SF_DIR).toPandas()
+    assert (out["doc_id"] % CONTAM_BENCH_MOD != 0).all()
+    assert ((out["contamination"] >= 0) & (out["contamination"] <= 1)).all()
+    assert (out["n_hits"] <= out["n_grams"]).all()
+    # the verdict column must be derived from the ratio, not constant
+    assert out["contaminated"].nunique() >= 1
+    # every corpus doc is present (left join keeps zero-hit docs)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    expect = (docs["doc_id"] % CONTAM_BENCH_MOD != 0).sum()
+    assert len(out) == expect
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    """The lowest doc_id containing a gram is never charged for it:
+    per-doc n_dup < n_grams for the minimum doc_id, and the doc with
+    the smallest id in the corpus has dup_ratio 0."""
+    from pdf_parser_spark.dataops import q_span_dedup
+
+    out = q_span_dedup(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert (out["n_dup"] <= out["n_grams"]).all()
+    first = out.iloc[0]
+    assert first["n_dup"] == 0 and first["dup_ratio"] == 0.0
+    assert first["keep"]
+    # duplication exists somewhere (non-vacuous corpus)
+    assert (out["n_dup"] > 0).any()
+
+
+def test_events_pivot_counts_match_long_form(spark):
+    """Pivot wide counts must equal the long-form groupBy counts."""
+    from pdf_parser_spark.dataops import PIVOT_EVENT_TYPES, q_events_pivot
+
+    wide = q_events_pivot(spark, SF_DIR).toPandas().set_index("user_id")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    long = (
+        events.groupBy("user_id", "event_type").count().toPandas()
+    )
+    for _, r in long.iterrows():
+        assert wide.loc[r["user_id"], r["event_type"]] == r["count"]
+    assert set(wide.columns) == set(PIVOT_EVENT_TYPES)
