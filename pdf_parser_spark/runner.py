@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import traceback
 from typing import Callable
@@ -136,13 +137,32 @@ def run_extraction(
     services/worker/ocr_worker.py:72-83) and the run raises.
     """
     _check_manifest(out_dir, n_buckets)
-    bucketed = with_bucket(transcripts, n_buckets)
     done = completed_buckets(spark, out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
 
+    # ONE scan of the source: stage the bucketed input partitioned by
+    # bucket, then each bucket job reads only its own pruned partition
+    # dir (the old per-bucket filter re-scanned the full input
+    # n_buckets times — at 100 TB that is n_buckets full-table scans).
+    # Staging doubles input storage transiently (same cost class as a
+    # shuffle) and is deleted on successful completion; on resume an
+    # existing staged copy is reused, which also freezes the run's
+    # input: resuming continues the ORIGINAL run even if the caller
+    # passes a drifted DataFrame.
+    staging = os.path.join(out_dir, "_staged_input")
+    if todo:
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            (
+                with_bucket(transcripts, n_buckets)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(staging)
+            )
+        staged = spark.read.parquet(staging)
+
     for b in todo:
         started = time.time()
-        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        part = staged.filter(F.col("bucket") == b).drop("bucket")
         try:
             if fail_bucket is not None and b == fail_bucket:
                 raise RuntimeError(f"injected failure at bucket {b}")
@@ -195,6 +215,7 @@ def run_extraction(
     metrics_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "_metrics")
     )
+    shutil.rmtree(staging, ignore_errors=True)  # run complete: drop the staged copy
     return {
         "buckets_total": n_buckets,
         "buckets_resumed_skip": len(done),
