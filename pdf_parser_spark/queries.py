@@ -352,6 +352,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY.md §2.9: the reference has no set
+    ops; Catalyst provides them): early-window error users split into
+    those who never purchased (EXCEPT) and those who did (INTERSECT),
+    tagged and unioned. Each set op is one hash-distinct shuffle on
+    user_id — at scale these compile to aggregate/join, never a sort."""
+    events = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-03")
+    early = events.filter(F.col("ts") < cutoff)
+    errs = early.filter(F.col("event_type") == "error").select("user_id").distinct()
+    purch = early.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    error_only = errs.subtract(purch).withColumn("relation", F.lit("error_only"))
+    both = errs.intersect(purch).withColumn("relation", F.lit("both"))
+    return error_only.unionByName(both)
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -487,6 +503,20 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
+    "set_ops": """
+        WITH errs AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
+        ), purch AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+        )
+        SELECT user_id, 'error_only' AS relation
+        FROM (SELECT user_id FROM errs EXCEPT SELECT user_id FROM purch)
+        UNION ALL
+        SELECT user_id, 'both' AS relation
+        FROM (SELECT user_id FROM errs INTERSECT SELECT user_id FROM purch)
+    """,
     "window_running_total": """
         SELECT user_id, event_id,
                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -531,4 +561,5 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "window_running_total": q_window_running_total,
     "sessionize_events": q_sessionize_events,
+    "set_ops": q_set_ops,
 }
