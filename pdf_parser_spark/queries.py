@@ -352,6 +352,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (reference has only sums/counts —
+    §2.9; Catalyst's `percentile` provides linear-interpolated exact
+    quantiles, same definition as DuckDB's quantile_cont). Exact
+    percentile sorts within each group — fine for bounded per-group
+    cardinality; at 100 TB the unbounded-group path is
+    approx_percentile (t-digest, mergeable map-side) traded under the
+    same query shape."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface (SURVEY.md §2.9: the reference has no set
     ops; Catalyst provides them): early-window error users split into
@@ -503,6 +519,13 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
+    "value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
     "set_ops": """
         WITH errs AS (
             SELECT DISTINCT user_id FROM events
@@ -562,4 +585,5 @@ QUERIES = {
     "window_running_total": q_window_running_total,
     "sessionize_events": q_sessionize_events,
     "set_ops": q_set_ops,
+    "value_quantiles": q_value_quantiles,
 }
