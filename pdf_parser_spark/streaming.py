@@ -111,6 +111,35 @@ def stream_dedup_turns(transcripts: DataFrame, within: str = "1 hour") -> DataFr
     )
 
 
+def stream_session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via dynamic-gap session windows: the
+    streaming analogue of queries.q_sessionize_events (lag+cumsum is a
+    batch-only construct — no global per-key ordering exists on a
+    stream). ``session_window`` keeps one [start, last+gap) window per
+    active (user, session) in the state store, merges on overlap, and
+    emits when the watermark passes the window end — bounded state,
+    late rows folded in up to ``watermark``. Works on any
+    (user_id, ts, value)-shaped stream; in batch mode the same
+    expression computes the identical sessions (tested against it)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_conversation_state(
     transcripts: DataFrame, quiet_timeout_ms: int = 30 * 60 * 1000
 ) -> DataFrame:

@@ -185,3 +185,55 @@ def test_stream_dedup_drops_replayed_files(spark, tmp_path):
     got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
     keys = [(r["conv_id"], r["turn_idx"]) for r in got]
     assert len(keys) == len(set(keys)) == len(rows)
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """session_window sessionization: the streamed (watermarked,
+    append-mode) result must be a subset of the batch session_window
+    result with identical per-session aggregates, and must cover every
+    session that closed before the final watermark."""
+    from pdf_parser_spark.streaming import stream_session_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # the testdata parquet stores TIMESTAMP_NTZ; watermarks require
+    # event-time TIMESTAMP (with tz) -- cast once, on both paths
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    in_dir = str(tmp_path / "ev_in")
+    events.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    q = (
+        stream_session_stats(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out).toPandas()
+    assert len(streamed) > 0
+    # batch mode: the same expression over the same input
+    batch = stream_session_stats(events).toPandas()
+    # multi-event sessions exist (the gap logic actually merges)
+    assert (batch["n_events"] > 1).any()
+    bkey = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.session_value)
+        for r in batch.itertuples()
+    }
+    for r in streamed.itertuples():
+        assert bkey[(r.user_id, r.session_start)] == (
+            r.session_end,
+            r.n_events,
+            r.session_value,
+        ), f"session mismatch for {r}"
+    # nearly all sessions closed (corpus spans ~30 days vs 1h watermark)
+    assert len(streamed) >= 0.9 * len(batch)
