@@ -83,16 +83,18 @@ def q_status_filtered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_oldest_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5 oldest-first selection (reference: redis_store.py:68-79 zpopmin).
-    First event per type by (ts, event_id) — window rank 1."""
+    First event per type by (ts, event_id) — a min(struct) aggregate,
+    not a rank-1 window: structs compare lexicographically, the min is
+    map-side combinable, and no per-key sort ever materializes (the
+    window form sorts every partition's full event list at 100x)."""
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        events.groupBy("event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
         .select(
             "event_type",
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.col("first.event_id").alias("event_id"),
+            F.date_format("first.ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         )
     )
 
