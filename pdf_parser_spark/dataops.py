@@ -1233,20 +1233,25 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never shuffles on the gram key. Zero-hit docs are kept
     via a left join against the per-doc gram counts (computed at array
     level, before the explode, so empty docs cost nothing)."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    grams_arr = _ngrams_col(_tokens_col(), CONTAM_N)
+    # one tokenize+gram pass, cached: `base`, `bench_g` and `hits` all
+    # consume this projection — without the persist the regex chain
+    # (the expensive part) re-runs per consumer
+    grams_df = docs.select(
+        "doc_id", _ngrams_col(_tokens_col(), CONTAM_N).alias("gs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench_g = (
-        docs.filter(is_bench)
-        .select(F.explode(grams_arr).alias("g"))
-        .distinct()
+        grams_df.filter(is_bench).select(F.explode("gs").alias("g")).distinct()
     )
-    base = docs.filter(~is_bench).select(
-        "doc_id", F.size(grams_arr).cast("long").alias("n_grams")
+    base = grams_df.filter(~is_bench).select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams")
     )
     hits = (
-        docs.filter(~is_bench)
-        .select("doc_id", F.explode(grams_arr).alias("g"))
+        grams_df.filter(~is_bench)
+        .select("doc_id", F.explode("gs").alias("g"))
         .join(F.broadcast(bench_g), "g", "leftsemi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
@@ -1329,18 +1334,29 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_ngrams_col(_tokens_col(), 3)).alias("g")
     )
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    ratio = F.round(F.col("n_dup") / F.col("n_grams"), 6)
-    return (
+    per_doc = (
         grams.join(first, "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum((F.col("doc_id") > F.col("first_doc")).cast("long")).alias("n_dup"),
         )
+    )
+    # left join from ALL docs: a doc with <3 tokens has zero grams and
+    # would otherwise vanish from the verdict list — nothing to dedup
+    # means keep, not drop-silently
+    ratio = F.round(
+        F.coalesce(F.col("n_dup"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+        6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
-            "n_dup",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
             ratio.alias("dup_ratio"),
             (ratio <= SPAN_DEDUP_KEEP_MAX).alias("keep"),
         )
@@ -1357,17 +1373,24 @@ SQL_SPAN_DEDUP = f"""
                      regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
               FROM documents)
     ),
-    first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
-    SELECT grams.doc_id,
-           count(*) AS n_grams,
-           CAST(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_dup,
-           round(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) AS dup_ratio,
-           round(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) <= {SPAN_DEDUP_KEEP_MAX} AS keep
-    FROM grams JOIN first USING (g)
-    GROUP BY grams.doc_id
+    first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN grams.doc_id > first.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM grams JOIN first USING (g)
+        GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+           round(coalesce(p.n_dup, 0) * 1.0
+                 / greatest(coalesce(p.n_grams, 0), 1), 6) AS dup_ratio,
+           round(coalesce(p.n_dup, 0) * 1.0
+                 / greatest(coalesce(p.n_grams, 0), 1), 6)
+               <= {SPAN_DEDUP_KEEP_MAX} AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 

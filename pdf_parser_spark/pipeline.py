@@ -427,13 +427,17 @@ def conversation_metrics(extracted: DataFrame) -> DataFrame:
 def run_metrics(extracted: DataFrame) -> DataFrame:
     """Global metrics row (turns parsed, spans emitted, fallback rate) —
     the FIXTURES.md §7 metrics table."""
+    # coalesce: sum/avg over an EMPTY input are NULL, and a null-valued
+    # metrics row breaks downstream createDataFrame/parquet consumers
     return extracted.agg(
         F.count("*").alias("turns_parsed"),
         F.countDistinct("conv_id").alias("conversations"),
-        F.sum("n_blocks").alias("blocks_emitted"),
-        F.sum("n_spans").alias("spans_emitted"),
-        F.sum("n_chars").alias("chars_extracted"),
-        F.avg(F.col("is_fallback").cast("double")).alias("ocr_fallback_rate"),
+        F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("blocks_emitted"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans_emitted"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_extracted"),
+        F.coalesce(
+            F.avg(F.col("is_fallback").cast("double")), F.lit(0.0)
+        ).alias("ocr_fallback_rate"),
     )
 
 

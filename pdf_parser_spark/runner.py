@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .pipeline import extract_turns, run_metrics
+from .pipeline import EXTRACTED_WITH_SEQ_SCHEMA, extract_turns, run_metrics
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -151,14 +151,12 @@ def run_extraction(
     # passes a drifted DataFrame.
     staging = os.path.join(out_dir, "_staged_input")
     if todo:
+        bucketed = with_bucket(transcripts, n_buckets)
         if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-            (
-                with_bucket(transcripts, n_buckets)
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(staging)
-            )
-        staged = spark.read.parquet(staging)
+            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        # explicit schema: an all-empty input stages only _SUCCESS (no
+        # data files), and a schema-less read would fail to infer
+        staged = spark.read.schema(bucketed.schema).parquet(staging)
 
     for b in todo:
         started = time.time()
@@ -170,14 +168,20 @@ def run_extraction(
             # atomic-ish commit: overwrite this bucket's dir, THEN the
             # lineage row. A crash between the two re-does the bucket on
             # resume — idempotent because overwrite replaces the dir.
+            bucket_dir = os.path.join(out_dir, f"bucket={b}")
             (
                 extracted.sortWithinPartitions("conv_id", "turn_idx")
                 .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, f"bucket={b}"))
+                .parquet(bucket_dir)
             )
-            stats = extracted.agg(
-                F.count("*").alias("n"), F.countDistinct("conv_id").alias("c")
-            ).collect()[0]
+            # lineage stats from the just-written files — re-aggregating
+            # `extracted` would run the whole Arrow kernel stage a
+            # second time per bucket
+            stats = (
+                spark.read.schema(extracted.schema).parquet(bucket_dir)
+                .agg(F.count("*").alias("n"), F.countDistinct("conv_id").alias("c"))
+                .collect()[0]
+            )
             _append_lineage(
                 spark,
                 out_dir,
@@ -234,7 +238,11 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
         names = [d for d in sorted(os.listdir(out_dir)) if d in wanted]
     else:  # pre-manifest output (round-1 layout): read everything
         names = [d for d in sorted(os.listdir(out_dir)) if d.startswith("bucket=")]
-    return spark.read.parquet(*[os.path.join(out_dir, d) for d in names])
+    # explicit schema: empty buckets write no data files, and a run over
+    # an all-empty input must read back as an empty DF, not fail inference
+    return spark.read.schema(EXTRACTED_WITH_SEQ_SCHEMA).parquet(
+        *[os.path.join(out_dir, d) for d in names]
+    )
 
 
 def summarize(summary: dict) -> str:

@@ -205,14 +205,19 @@ def test_frame_sampling_uniform(spark):
 def test_contamination_check_properties(spark):
     """Benchmark docs (doc_id % 97 == 0) never appear in the output;
     ratios live in [0,1]; zero-gram docs are retained with ratio 0."""
-    from pdf_parser_spark.dataops import CONTAM_BENCH_MOD, q_contamination_check
+    from pdf_parser_spark.dataops import (
+        CONTAM_BENCH_MOD,
+        CONTAM_THRESHOLD,
+        q_contamination_check,
+    )
 
     out = q_contamination_check(spark, SF_DIR).toPandas()
     assert (out["doc_id"] % CONTAM_BENCH_MOD != 0).all()
     assert ((out["contamination"] >= 0) & (out["contamination"] <= 1)).all()
     assert (out["n_hits"] <= out["n_grams"]).all()
-    # the verdict column must be derived from the ratio, not constant
-    assert out["contaminated"].nunique() >= 1
+    # the verdict is exactly threshold(ratio), and both sides occur
+    assert (out["contaminated"] == (out["contamination"] >= CONTAM_THRESHOLD)).all()
+    assert out["contaminated"].nunique() == 2
     # every corpus doc is present (left join keeps zero-hit docs)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
     expect = (docs["doc_id"] % CONTAM_BENCH_MOD != 0).sum()
@@ -226,6 +231,9 @@ def test_span_dedup_first_occurrence_wins(spark):
     from pdf_parser_spark.dataops import q_span_dedup
 
     out = q_span_dedup(spark, SF_DIR).toPandas().sort_values("doc_id")
+    # every doc gets a verdict, including zero-gram (<3-token) docs
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(out) == n_docs
     assert (out["n_dup"] <= out["n_grams"]).all()
     first = out.iloc[0]
     assert first["n_dup"] == 0 and first["dup_ratio"] == 0.0

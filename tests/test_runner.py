@@ -103,3 +103,17 @@ def test_read_extracted_ignores_stale_bucket_dirs(spark, transcripts, tmp_path):
         os.path.join(out, "bucket=0"), os.path.join(out, f"bucket={N_BUCKETS + 3}")
     )
     assert _text_map(read_extracted(spark, out)) == clean
+
+
+def test_empty_input_run_completes(spark, tmp_path):
+    """An all-empty input must produce a complete (all-zero) run, not an
+    inference crash: empty staging/bucket dirs have no data files, so
+    every read-back path needs an explicit schema."""
+    from pdf_parser_spark.pipeline import TRANSCRIPTS_SCHEMA
+
+    out = str(tmp_path / "empty")
+    empty = spark.createDataFrame([], schema=TRANSCRIPTS_SCHEMA)
+    summary = run_extraction(spark, empty, out, n_buckets=N_BUCKETS)
+    assert summary["buckets_processed"] == N_BUCKETS
+    assert summary["turns_parsed"] == 0
+    assert read_extracted(spark, out).count() == 0
