@@ -113,6 +113,45 @@ def _q_extract_spans_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_overlay_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-oracle check of the S4 searchable-PDF overlay analogue:
+    per-turn count + md5 of the "block_id:line_no:text" rendering of
+    export_text_overlay's positioned-text layer, vs the same digest
+    pinned from the straight-line kernel (kernels/overlay.py). The
+    geometry (bboxes, font sizes) is covered by the kernel-vs-Spark
+    equality test; the digest pins route choices and line splitting."""
+    from pdf_parser_spark.pipeline import export_text_overlay
+
+    extracted = extract_turns(transcripts_from_documents(spark, sf_dir), salt_buckets=16)
+    ov = export_text_overlay(extracted)
+    per_turn = ov.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_overlay_lines"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "block_id", "text"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["block_id"], s["line_no"].cast("string"), s["text"]
+                    ),
+                ),
+            )
+        ).alias("overlay_md5"),
+    )
+    return (
+        extracted.select("conv_id", "turn_idx")
+        .join(per_turn, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce(F.col("n_overlay_lines"), F.lit(0)).cast("int").alias("n_overlay_lines"),
+            F.coalesce(F.col("overlay_md5"), F.md5(F.lit(""))).alias("overlay_md5"),
+        )
+    )
+
+
 def _q_extract_chunks_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-oracle chunker check (K1-K5): per-chunk md5 vs the pinned
     golden."""
@@ -132,6 +171,7 @@ _EXTRACTION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_gapfill": _q_extraction_gapfill,
     "extract_text_md5": _q_extract_text_md5,
     "extract_spans_md5": _q_extract_spans_md5,
+    "extract_overlay_md5": _q_extract_overlay_md5,
     "extract_chunks_md5": _q_extract_chunks_md5,
 }
 
@@ -150,6 +190,9 @@ _EXTRACTION_ORACLES: dict[str, str] = {
     """,
     "extract_spans_md5": f"""
         SELECT conv_id, turn_idx, spans_md5 FROM {_TURNS_GOLDEN}
+    """,
+    "extract_overlay_md5": f"""
+        SELECT conv_id, turn_idx, n_overlay_lines, overlay_md5 FROM {_TURNS_GOLDEN}
     """,
     "extract_chunks_md5": f"""
         SELECT chunk_id, text_md5 FROM {_CHUNKS_GOLDEN}

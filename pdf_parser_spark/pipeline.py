@@ -472,6 +472,117 @@ def export_documents_json(extracted: DataFrame) -> DataFrame:
     )
 
 
+def export_text_overlay(
+    extracted: DataFrame, page_w_pts: float = 612.0, page_h_pts: float = 792.0
+) -> DataFrame:
+    """S4 searchable-PDF sink analogue: the positioned invisible-text
+    layer as a table, one row per overlay line.
+
+    The reference overlays render-mode-3 text on the original PDF
+    (src/exporters/searchable_pdf.py). Everything deterministic about
+    that export is the OVERLAY GEOMETRY, reproduced here JVM-side with
+    higher-order array functions (no Python UDF):
+    - table blocks with ``rows``: one line per row, cells joined by
+      " | " (empty cells dropped), blank rows skipped, distributed
+      uniformly within the block bbox (searchable_pdf.py:180-222);
+    - blocks with empty text are skipped (:56-59);
+    - blocks with per-line data: one overlay line per (text, bbox)
+      entry, blank text / malformed bbox skipped (:127-137);
+    - otherwise text splits on newline, blank lines dropped, lines
+      distributed uniformly within the block bbox (:140-176);
+    - per line: zero/negative width or height in points is skipped and
+      font_size = clamp(line_height_pts * 0.80, 4, 72) (:18-23,95-105).
+    The actual PDF canvas write is renderer-bound (reportlab, not in
+    this container) — the rendering consumes exactly this table.
+    """
+    W, H = F.lit(float(page_w_pts)), F.lit(float(page_h_pts))
+    empty_lines = F.array().cast(
+        "array<struct<text:string,bbox:array<double>>>"
+    )
+
+    def _distribute(texts, bbox):
+        """Uniform vertical split of the block bbox over the texts."""
+        n = F.size(texts)
+        x1, y1 = F.element_at(bbox, 1), F.element_at(bbox, 2)
+        x2, y2 = F.element_at(bbox, 3), F.element_at(bbox, 4)
+        bh = y2 - y1
+        dist = F.transform(
+            texts,
+            lambda t, i: F.struct(
+                t.alias("text"),
+                F.array(
+                    x1,
+                    y1 + i.cast("double") * bh / n.cast("double"),
+                    x2,
+                    y1 + (i.cast("double") + 1.0) * bh / n.cast("double"),
+                ).alias("bbox"),
+            ),
+        )
+        return F.when(n > 0, dist).otherwise(empty_lines)
+
+    def _block_lines(b):
+        row_texts = F.filter(
+            F.transform(
+                b["rows"],
+                lambda r: F.concat_ws(
+                    " | ", F.filter(r, lambda c: c.isNotNull() & (c != F.lit("")))
+                ),
+            ),
+            lambda t: F.trim(t) != F.lit(""),
+        )
+        line_entries = F.filter(
+            F.transform(
+                b["lines"],
+                lambda l: F.struct(l["text"].alias("text"), l["bbox"].alias("bbox")),
+            ),
+            lambda s: (F.trim(s["text"]) != F.lit("")) & (F.size(s["bbox"]) == 4),
+        )
+        fallback_texts = F.filter(
+            F.split(b["text"], "\n"), lambda t: F.trim(t) != F.lit("")
+        )
+        return (
+            F.when(b["rows"].isNotNull() & (F.size(b["rows"]) > 0),
+                   _distribute(row_texts, b["bbox"]))
+            .when(F.coalesce(b["text"], F.lit("")) == "", empty_lines)
+            .when(b["lines"].isNotNull() & (F.size(b["lines"]) > 0), line_entries)
+            .otherwise(_distribute(fallback_texts, b["bbox"]))
+        )
+
+    per_block = F.flatten(
+        F.transform(
+            "blocks",
+            lambda b: F.transform(
+                _block_lines(b),
+                lambda s: F.struct(
+                    b["block_id"].alias("block_id"),
+                    s["text"].alias("text"),
+                    s["bbox"].alias("bbox"),
+                ),
+            ),
+        )
+    )
+    line = F.col("line")
+    bb = line["bbox"]
+    lw = (F.element_at(bb, 3) - F.element_at(bb, 1)) * W
+    lh = (F.element_at(bb, 4) - F.element_at(bb, 2)) * H
+    font = F.greatest(F.lit(4.0), F.least(lh * 0.80, F.lit(72.0)))
+    return (
+        extracted.select(
+            "conv_id", "turn_idx", F.posexplode(per_block).alias("line_no", "line")
+        )
+        .filter((lw > 0) & (lh > 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            line["block_id"].alias("block_id"),
+            F.col("line_no"),
+            line["text"].alias("text"),
+            bb.alias("bbox"),
+            F.round(font, 6).alias("font_size_pts"),
+        )
+    )
+
+
 def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """Sink: parquet, clustered by conversation and ordered within
     partitions so downstream per-conv reads are sequential (the

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_parser_spark.kernels.chunker import build_chunks_for_turn  # noqa: E402
 from pdf_parser_spark.kernels.extract import extract_turn  # noqa: E402
+from pdf_parser_spark.kernels.overlay import overlay_lines  # noqa: E402
 
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
@@ -93,6 +94,19 @@ def make(sf_dir: str) -> None:
                 ).encode("utf-8")
             ).hexdigest()
         )
+        # S4 overlay digest: positioned-text layer (kernels/overlay.py)
+        # rendered as "block_id:line_no:text" — geometry itself is
+        # pinned by the kernel-vs-Spark equality test; the digest makes
+        # the route choices + line splitting driver-checkable
+        ov = overlay_lines(res["blocks"])
+        t["n_overlay_lines"].append(len(ov))
+        t["overlay_md5"].append(
+            hashlib.md5(
+                ";".join(
+                    f"{l['block_id']}:{l['line_no']}:{l['text']}" for l in ov
+                ).encode("utf-8")
+            ).hexdigest()
+        )
         for ch in build_chunks_for_turn(conv_id, turn_idx, res["blocks"]):
             for k in (
                 "chunk_id",
@@ -127,6 +141,8 @@ def make(sf_dir: str) -> None:
             "extracted_text": pa.array(turn_rows["extracted_text"], pa.string()),
             "text_md5": pa.array(turn_rows["text_md5"], pa.string()),
             "spans_md5": pa.array(turn_rows["spans_md5"], pa.string()),
+            "n_overlay_lines": pa.array(turn_rows["n_overlay_lines"], i32),
+            "overlay_md5": pa.array(turn_rows["overlay_md5"], pa.string()),
         }
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     pq.write_table(turns, os.path.join(GOLDEN_DIR, f"extract_md5_{sf_name}.parquet"))

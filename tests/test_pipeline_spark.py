@@ -183,3 +183,42 @@ class TestChunks:
                 want[c["chunk_id"]] = c["text"]
         assert got == want
         assert len(got) > 50
+
+
+def test_text_overlay_matches_python_oracle(spark):
+    """export_text_overlay (S4 searchable-PDF analogue): the JVM
+    higher-order-function geometry must equal the straight-line kernel
+    reimplementation of the reference's overlay rules
+    (kernels/overlay.py <- searchable_pdf.py:31-222)."""
+    from pdf_parser_spark.kernels.overlay import overlay_lines
+    from pdf_parser_spark.pipeline import export_text_overlay, extract_turns, synth_transcripts_df
+
+    extracted = extract_turns(synth_transcripts_df(spark, n_convs=12))
+    got = export_text_overlay(extracted).toPandas()
+
+    expect = []
+    covered = set()
+    for r in extracted.select("conv_id", "turn_idx", "blocks").collect():
+        blocks = [b.asDict(recursive=True) for b in r["blocks"]]
+        for b in blocks:
+            if b.get("rows"):
+                covered.add("rows")
+            elif b.get("lines"):
+                covered.add("lines")
+            else:
+                covered.add("fallback")
+        for ln in overlay_lines(blocks):
+            expect.append(
+                (r["conv_id"], r["turn_idx"], ln["block_id"], ln["line_no"],
+                 ln["text"], tuple(round(v, 9) for v in ln["bbox"]),
+                 round(ln["font_size_pts"], 6))
+            )
+
+    got_set = [
+        (r.conv_id, r.turn_idx, r.block_id, r.line_no, r.text,
+         tuple(round(v, 9) for v in r.bbox), round(r.font_size_pts, 6))
+        for r in got.itertuples()
+    ]
+    assert len(got_set) > 0
+    assert covered == {"rows", "lines", "fallback"}  # all three routes hit
+    assert sorted(got_set) == sorted(expect)

@@ -17,6 +17,7 @@ QUERY_SF = {
     for name in (
         "extract_text_md5",
         "extract_spans_md5",
+        "extract_overlay_md5",
         "extract_chunks_md5",
         "extract_turns_docs",
         "extract_conv_metrics",
