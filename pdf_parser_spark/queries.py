@@ -354,6 +354,25 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: events.props is a JSON string;
+    from_json with an explicit schema parses it JVM-side (typed struct,
+    whole-stage codegen — never a Python JSON loop) and the extracted
+    field aggregates per type. At scale the parse is a narrow map
+    fused into the scan stage."""
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles per group (reference has only sums/counts —
     §2.9; Catalyst's `percentile` provides linear-interpolated exact
@@ -521,6 +540,14 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1995-09-01'
           AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
+    "json_props_stats": """
+        SELECT event_type,
+               count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+               -- CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+        FROM events GROUP BY event_type
+    """,
     "value_quantiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
@@ -588,4 +615,5 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "set_ops": q_set_ops,
     "value_quantiles": q_value_quantiles,
+    "json_props_stats": q_json_props_stats,
 }
