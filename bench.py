@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "contamination_check",
     "span_dedup",
     "events_pivot",
+    "set_ops",
+    "value_quantiles",
+    "json_props_stats",
 ]
 
 
