@@ -39,6 +39,18 @@ def _fold(s: str) -> str:
     )
 
 
+def _query_tokens(query: str) -> list[str]:
+    """Reference service.py:34: tokens are [a-z0-9]{4,} runs of the
+    folded query — NOT whitespace split (a punctuated query like
+    'spark-sql' must yield 'spark', not a hyphenated token the
+    regex-tokenized doc side can never match)."""
+    import re
+
+    return sorted(
+        {t for t in re.findall(r"[a-z0-9]+", _fold(query)) if len(t) >= MIN_TOKEN_LEN}
+    )
+
+
 # Engine-portable accent fold (the Spark/DuckDB analogue of _fold): an
 # explicit translate table for Latin-1 accents, then lowercase, then
 # strip any remaining non-ascii — which JOINS adjacent fragments just
@@ -106,7 +118,7 @@ def rank_search(vecs: DataFrame, docs: DataFrame, query: str, topk: int = TOPK) 
     top-k. ``vecs`` is (doc_id, v0..v15); ``docs`` needs (doc_id, text)."""
     qv = embed_text(query)
     qnorm = sum(x * x for x in qv) ** 0.5
-    qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
+    qtoks = _query_tokens(query)
     qprefixes = sorted({t[:4] for t in qtoks})
     need_prefix = 1 if len(qprefixes) == 1 else 2
 
@@ -194,7 +206,7 @@ def _sql_semantic_search() -> str:
     query = DEFAULT_QUERY
     qv = embed_text(query)
     qnorm = sum(x * x for x in qv) ** 0.5
-    qtoks = sorted({t for t in _fold(query).split() if len(t) >= MIN_TOKEN_LEN})
+    qtoks = _query_tokens(query)
     qprefixes = sorted({t[:4] for t in qtoks})
     need_prefix = 1 if len(qprefixes) == 1 else 2
     qtok_list = ", ".join(f"'{t}'" for t in qtoks)
