@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     "set_ops",
     "value_quantiles",
     "json_props_stats",
+    "window_trailing",
+    "anti_semi_join",
+    "latest_per_key",
+    "tpch_q10",
+    "events_tumbling",
+    "text_repetition",
+    "pii_scrub",
 ]
 
 

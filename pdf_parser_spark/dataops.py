@@ -1430,6 +1430,145 @@ SQL_EVENTS_PIVOT = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style repetition rules over token/bigram
+# frequency: C4/Gopher drop documents dominated by one token or one
+# n-gram). Everything is per-row ARRAY arithmetic — zero shuffle, whole
+# corpus scales linearly; the per-doc cost is O(distinct x tokens),
+# bounded because documents are length-capped upstream (corpus_filter).
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics: distinct-token ratio, top-token
+    fraction, top-bigram fraction (the Gopher repetition-rule family).
+    Narrow map — no explode, no groupBy: the token list stays inside
+    one row, so at 100 TB this is a pure scan-side projection."""
+    toks = _tokens_col()
+    n = F.size(toks)
+    dist = F.array_distinct(toks)
+    top_tok = F.coalesce(
+        F.array_max(
+            F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+        ),
+        F.lit(0),
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    top_bigram = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(dist) / F.greatest(n, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(top_tok / F.greatest(n, F.lit(1)), 6).alias("top_token_frac"),
+        F.round(top_bigram / F.greatest(nb, F.lit(1)), 6).alias("top_bigram_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+               END AS bigrams
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS distinct_ratio,
+           round(CAST(coalesce(list_max(list_transform(list_distinct(toks),
+                     t -> len(list_filter(toks, x -> x = t)))), 0) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS top_token_frac,
+           round(CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
+                     g -> len(list_filter(bigrams, x -> x = g)))), 0) AS DOUBLE)
+                 / greatest(len(bigrams), 1), 6) AS top_bigram_frac
+    FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: redact emails/phones before a
+# corpus ships). The synthetic corpus contains no PII, so the query
+# injects deterministic PII into every 3rd document FIRST (both
+# engines run the identical injection) and then scrubs — the redaction
+# regexes are the operator under test, exercised on both hit and miss
+# paths. Narrow map, zero shuffle.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE_RE = "\\+[0-9][0-9]?-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic PII into doc_id % 3 == 0, then redact
+    emails -> [EMAIL] and phones -> [PHONE]; report match counts and
+    the md5 of the scrubbed text (the driver hash then pins the exact
+    redacted bytes). regexp_replace / regexp_extract_all are JVM-side
+    whole-stage-codegen expressions — the scrub costs one scan."""
+    docs = _docs(spark, sf_dir)
+    pii = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", pii)).otherwise(
+            F.col("text")
+        ),
+    )
+    n_emails = F.size(F.regexp_extract_all("text2", F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("text2", F.lit(PII_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text2", PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return with_pii.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text
+               END AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PII_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM w
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dedup": q_simhash_dedup,
@@ -1449,6 +1588,8 @@ DATAOPS_QUERIES = {
     "contamination_check": q_contamination_check,
     "span_dedup": q_span_dedup,
     "events_pivot": q_events_pivot,
+    "text_repetition": q_text_repetition,
+    "pii_scrub": q_pii_scrub,
 }
 
 DATAOPS_ORACLES = {
@@ -1470,4 +1611,6 @@ DATAOPS_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "span_dedup": SQL_SPAN_DEDUP,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
 }

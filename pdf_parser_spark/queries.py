@@ -405,6 +405,128 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_only.unionByName(both)
 
 
+def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-10-minute value sum
+    (feature-engineering staple; reference has no window frames —
+    SURVEY.md §2.9). RANGE BETWEEN 600 PRECEDING over epoch seconds:
+    keyed by user_id, so the window shuffles once on the partition key
+    and each partition sorts independently — no global sort, and the
+    frame bound is evaluated per-row inside the sorted run."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 5)
+        .withColumn("trailing_10m", F.round(F.sum("value").over(w), 4))
+        .select("user_id", "event_id", "trailing_10m")
+    )
+
+
+def q_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI surface: per nation, customers with vs
+    without any order. Both joins build on the distinct buyer set; the
+    per-nation counts then join the tiny nation dim broadcast. At scale
+    semi/anti are the shapes Catalyst gives EXISTS / NOT EXISTS — one
+    shuffle on custkey each, no fan-out (semi/anti never duplicate the
+    left side)."""
+    cust = _t(spark, sf_dir, "customer")
+    buyers = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    nation = _t(spark, sf_dir, "nation")
+    cond = cust["c_custkey"] == buyers["o_custkey"]
+    with_o = (
+        cust.join(buyers, cond, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_o = (
+        cust.join(buyers, cond, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    per_nation = with_o.join(without_o, "c_nationkey", "full_outer")
+    return (
+        per_nation.join(
+            F.broadcast(nation), per_nation["c_nationkey"] == nation["n_nationkey"]
+        )
+        .select(
+            "n_name",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-event-per-user (SCD-style dedup-by-recency) as a
+    max(struct) hash aggregate — one shuffle with map-side partial agg,
+    NOT a rank window (a window sorts every partition's full history;
+    the struct-max carries one row per key through the shuffle). Struct
+    comparison orders by (ts, event_id), so ties on ts break
+    deterministically."""
+    events = _t(spark, sf_dir, "events")
+    latest = events.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last")
+    )
+    return latest.select(
+        "user_id",
+        F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customer ranking): filter both
+    fact sides BEFORE the joins (returnflag on lineitem, one quarter of
+    orders — Catalyst pushes both to the scans), join on keys, nation
+    broadcast, then top-20 via orderBy().limit() =
+    TakeOrderedAndProject (per-task top-k, no global sort)."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch twin of the streaming
+    windowed agg in streaming.py): F.window buckets event time into
+    epoch-aligned 1-hour windows JVM-side; one shuffle on
+    (window, event_type) with map-side partial agg. Output cardinality
+    is bounded by hours x types regardless of input size."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -592,6 +714,61 @@ ORACLES: dict[str, str] = {
                round(sum(value), 4) AS session_value
         FROM sess GROUP BY user_id, session_id
     """,
+    "window_trailing": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+               ), 4) AS trailing_10m
+        FROM events WHERE user_id < 5
+    """,
+    "anti_semi_join": """
+        WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+        flagged AS (
+            SELECT c_nationkey,
+                   c_custkey IN (SELECT o_custkey FROM buyers) AS has_o
+            FROM customer
+        )
+        SELECT n_name,
+               CAST(count(*) FILTER (WHERE has_o) AS BIGINT) AS n_with_orders,
+               CAST(count(*) FILTER (WHERE NOT has_o) AS BIGINT) AS n_without_orders
+        FROM flagged JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "latest_per_key": """
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_id AS last_event_id,
+               event_type AS last_event_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, n_name, revenue FROM (
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY c_custkey, c_name, n_name
+        ) ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "events_tumbling": """
+        SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
@@ -616,4 +793,9 @@ QUERIES = {
     "set_ops": q_set_ops,
     "value_quantiles": q_value_quantiles,
     "json_props_stats": q_json_props_stats,
+    "window_trailing": q_window_trailing,
+    "anti_semi_join": q_anti_semi_join,
+    "latest_per_key": q_latest_per_key,
+    "tpch_q10": q_tpch_q10,
+    "events_tumbling": q_events_tumbling,
 }
