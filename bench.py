@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     "events_tumbling",
     "text_repetition",
     "pii_scrub",
+    "rollup_agg",
+    "tpch_q4",
+    "tpch_q18",
+    "train_test_split",
+    "stratified_sample",
+    "domain_cap",
+    "ngram_topk",
 ]
 
 

@@ -1569,6 +1569,171 @@ SQL_PII_SCRUB = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus assembly ops: deterministic splits, domain mixing, per-domain
+# caps, and corpus-level n-gram stats. Splits and sampling are pure
+# hash arithmetic on doc_id (content-independent, reproducible across
+# runs and engines) — the way a 100 TB corpus is split/mixed in
+# practice: no shuffle, no state, any subset of the data gives the
+# same assignment.
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90  # train < 90, val < 95, test < 100
+SPLIT_VAL_PCT = 95
+STRATA_RATES = {"en": 0.3, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
+DOMAIN_CAP_K = 5
+NGRAM_TOPK_CORPUS = 20
+
+
+def _doc_hash_bucket(n_buckets: int):
+    """Deterministic bucket in [0, n_buckets) from md5(doc_id) — the
+    same 60-bit prefix parse as the oracle's
+    CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % n_buckets
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashing
+    doc_id — the standard reproducible-split primitive (a random()
+    split is neither reproducible nor resumable). Narrow map, zero
+    shuffle: at 100 TB this is a scan-side projection that any
+    downstream job recomputes for free instead of joining a split
+    table."""
+    bucket = _doc_hash_bucket(100)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+    SELECT doc_id,
+           CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 100 AS b
+        FROM documents
+    )
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by deterministic per-language downsampling (the
+    corpus-reweighting step of every pretraining mix: keep 30% of the
+    dominant language, 80% of mid-resource, all of the rarest). Keep
+    iff hash-fraction(doc_id) < rate(lang): content-independent,
+    reproducible, and — unlike df.sampleBy — identical across engines
+    and partitionings. Narrow map, zero shuffle."""
+    frac = _doc_hash_bucket(10000)
+    rate = F.lit(None).cast("double")
+    expr = None
+    for lang, r in STRATA_RATES.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = expr.otherwise(F.lit(1.0))
+    return (
+        _docs(spark, sf_dir)
+        .filter(frac < rate * 10000)
+        .select("doc_id", "lang")
+    )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 10000 AS frac,
+               CASE {_STRATA_CASE} ELSE 1.0 END AS rate
+        FROM documents
+    ) WHERE frac < rate * 10000
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4-style: no single source may dominate
+    the corpus): keep the K=5 docs with the smallest doc hash per
+    source. The rank window partitions on source — each domain sorts
+    independently, so there is no global sort; a domain skewed enough
+    to blow a partition would be pre-capped by a groupBy-count pass
+    feeding a threshold (same pattern as the dedup suite's MAX_DF)."""
+    h = _doc_hash_bucket(1_000_000_000)
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP_K)
+        .select("doc_id", "source", "rk")
+    )
+
+
+SQL_DOMAIN_CAP = f"""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 1000000000, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {DOMAIN_CAP_K}
+"""
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams by document frequency (the n-gram
+    census behind contamination checks and quality heuristics).
+    Per-doc DISTINCT bigrams stay array-side (no duplicate rows enter
+    the shuffle), the groupBy count partial-aggregates map-side, and
+    the top-k is orderBy().limit() = TakeOrderedAndProject — each task
+    keeps a 20-row heap; only those cross to the driver-side merge."""
+    toks = _tokens_col()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_ngrams_col(toks, 2)).alias("gram")
+    )
+    return (
+        docs.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOPK_CORPUS)
+    )
+
+
+SQL_NGRAM_TOPK = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(
+                   CASE WHEN len(toks) < 2 THEN []
+                        ELSE list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i + 1])
+                   END)) AS gram
+        FROM d
+    )
+    SELECT gram, count(*) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC LIMIT {NGRAM_TOPK_CORPUS}
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_dedup": q_simhash_dedup,
@@ -1590,6 +1755,10 @@ DATAOPS_QUERIES = {
     "events_pivot": q_events_pivot,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "domain_cap": q_domain_cap,
+    "ngram_topk": q_ngram_topk,
 }
 
 DATAOPS_ORACLES = {
@@ -1613,4 +1782,8 @@ DATAOPS_ORACLES = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
     "pii_scrub": SQL_PII_SCRUB,
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "ngram_topk": SQL_NGRAM_TOPK,
 }

@@ -527,6 +527,84 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP surface (SURVEY.md §2.9 lists grouping sets as a
+    missing-in-reference category Catalyst gives free): customer counts
+    and balance totals at (nation, segment), (nation), and grand-total
+    levels in ONE pass — the Expand operator emits the grouping-set
+    replicas map-side, so the cube costs one shuffle, not three jobs.
+    Null grouping keys are folded to 'ALL' (the data has no real nulls,
+    so the label is unambiguous on both engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    that have at least one returned line, counted per priority. The
+    EXISTS subquery is a LEFT SEMI join — Catalyst never duplicates the
+    probe side, and the date filter is pushed to the orders scan so the
+    semi join's build side is one quarter, not the full table."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 300, enriched with customer and ranked by
+    price. The HAVING aggregate runs FIRST (one shuffle on l_orderkey
+    with map-side partial sums) and its survivors are a tiny fraction
+    of orders, so the subsequent joins probe with the small side and
+    the final top-100 is TakeOrderedAndProject — no global sort."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -769,6 +847,37 @@ ORACLES: dict[str, str] = {
                round(sum(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "rollup_agg": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, sum_qty
+        FROM (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
 }
 
 QUERIES = {
@@ -798,4 +907,7 @@ QUERIES = {
     "latest_per_key": q_latest_per_key,
     "tpch_q10": q_tpch_q10,
     "events_tumbling": q_events_tumbling,
+    "rollup_agg": q_rollup_agg,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q18": q_tpch_q18,
 }
