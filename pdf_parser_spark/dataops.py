@@ -117,10 +117,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     par = spark.sparkContext.defaultParallelism
+    # Tokens land in a real projection BEFORE the shingle transform: the
+    # higher-order lambda references `toks` 4+ times (size bound + three
+    # element_at per gram), and with the regexp_extract_all inlined,
+    # Catalyst's CollapseProject/CSE does not dedupe it across the lambda
+    # boundary — the regex re-ran per reference (measured: 5.5s -> 3.3s
+    # cold, ~0.4s warm for the whole explode pass at sf0.1).
     sh0 = (
         _docs(spark, sf_dir)
         .repartition(par)
-        .select("doc_id", F.explode(_shingles_col(_tokens_col())).alias("s"))
+        .withColumn("toks", _tokens_col())
+        .select("doc_id", F.explode(_shingles_col(F.col("toks"))).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Persist BEFORE the hot-shingle pass: the df-count groupBy and the
