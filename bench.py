@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "kmv_distinct_users",
     "minhash_near_dup",
+    "dup_clusters",
     "simhash_dedup",
     "ngram_jaccard_dup",
     "ann_cosine_topk",

@@ -1741,8 +1741,110 @@ SQL_NGRAM_TOPK = f"""
 """
 
 
+CC_MAX_ITERS = 25
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the
+    minhash pair graph (q_minhash_near_dup), so "keep one doc per
+    duplicate cluster" becomes a filter on ``is_canonical``. Pairs
+    alone under-delete: A~B and B~C without A~C must still collapse
+    to ONE kept doc, which needs the transitive closure.
+
+    Iterative min-label propagation: every node starts labeled with
+    its own id; each round a node takes the min of its own and its
+    neighbors' labels; fixpoint = min doc_id reachable = component id
+    (deterministic, partitioning-independent). Rounds = graph
+    diameter — for dedup graphs (near-cliques from LSH verify)
+    that is 1-3, never the corpus size. Each round is one shuffle
+    keyed on doc_id over the PAIR GRAPH only (<< corpus; docs with no
+    near-dup never enter). ``localCheckpoint`` after each round
+    truncates the lineage so the plan doesn't grow with iterations —
+    the standard Spark iterative-algorithm guard (same scheme as
+    GraphFrames' connected components, which adds large/small-star
+    contraction to cut round count for high-diameter graphs; see
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+    """
+    pairs = q_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label-propagation CC over an undirected pair list
+    ``(doc_a, doc_b)``; see q_dup_clusters for the scale story.
+    Output: (doc_id, cluster_id, cluster_size, is_canonical)."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.withColumnRenamed("lbl", "prev")
+            .join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("prev"), F.coalesce("nlbl", "prev")).alias("lbl"),
+                "prev",
+            )
+            .localCheckpoint()
+        )
+        n_changed = new.filter(F.col("lbl") != F.col("prev")).count()
+        labels = new.select("doc_id", "lbl")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup_clusters did not converge in {CC_MAX_ITERS} rounds")
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    out = (
+        labels.join(F.broadcast(sizes), "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("lbl")).cast("int").alias("is_canonical"),
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+# Oracle: same fixpoint via a recursive CTE — walk enumerates, for
+# every node, the labels of all nodes that reach it (edges are
+# symmetric, so reachable set = component); min over them = the
+# component's min doc_id, exactly the Spark fixpoint.
+SQL_DUP_CLUSTERS = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({SQL_MINHASH_NEAR_DUP})),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL
+              SELECT doc_b AS a, doc_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    walk(doc_id, lbl) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.doc_id
+    ),
+    cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+           CAST(cc.doc_id = cc.cluster_id AS INT) AS is_canonical
+    FROM cc JOIN sizes USING (cluster_id)
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
+    "dup_clusters": q_dup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "ngram_jaccard_dup": q_ngram_jaccard_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1770,6 +1872,7 @@ DATAOPS_QUERIES = {
 
 DATAOPS_ORACLES = {
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,
     "ngram_jaccard_dup": SQL_NGRAM_JACCARD_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -254,3 +254,36 @@ def test_events_pivot_counts_match_long_form(spark):
     for _, r in long.iterrows():
         assert wide.loc[r["user_id"], r["event_type"]] == r["count"]
     assert set(wide.columns) == set(PIVOT_EVENT_TYPES)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B~C~D chain (no direct A~C/A~D pairs) must collapse to ONE
+    cluster with min-id canonical — the transitive-closure case that
+    pair-level dedup alone gets wrong — while a disjoint pair and the
+    propagation direction (min flows both ways along an edge) hold."""
+    from pdf_parser_spark.dataops import connected_components
+
+    pairs = spark.createDataFrame(
+        [("d2", "d3"), ("d1", "d2"), ("d3", "d4"), ("x9", "x8")],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in connected_components(pairs).collect()
+    }
+    assert len(out) == 6
+    for d in ["d1", "d2", "d3", "d4"]:
+        assert out[d]["cluster_id"] == "d1"
+        assert out[d]["cluster_size"] == 4
+    for d in ["x8", "x9"]:
+        assert out[d]["cluster_id"] == "x8"
+        assert out[d]["cluster_size"] == 2
+    assert out["d1"]["is_canonical"] == 1 and out["d2"]["is_canonical"] == 0
+    assert out["x8"]["is_canonical"] == 1 and out["x9"]["is_canonical"] == 0
+
+
+def test_connected_components_empty_pairs(spark):
+    from pdf_parser_spark.dataops import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(pairs).count() == 0
