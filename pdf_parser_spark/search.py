@@ -252,5 +252,113 @@ def _sql_semantic_search() -> str:
 """
 
 
-SEARCH_QUERIES = {"semantic_search": q_semantic_search}
-SEARCH_ORACLES = {"semantic_search": _sql_semantic_search()}
+# ---------------------------------------------------------------------------
+# BM25 keyword search (the lexical complement to the vector path; the
+# reference's keyword surface is substring-match — services/search/
+# service.py:43-65, tools.py:206-232 search_document_text — which does
+# not rank. BM25 over an inverted index is the standard scale-correct
+# ranking upgrade a corpus-size user needs.)
+#
+# Scale shape: document length is computed ARRAY-side (no explode);
+# the exploded token stream is filtered to the query's terms BEFORE
+# any shuffle, so the posting aggregation shuffles only matching rows
+# (|terms| * df rows, not the corpus); per-term document frequencies
+# and the two corpus scalars (N, avgdl) broadcast; one groupBy(doc_id)
+# sums the per-term contributions; top-k is orderBy().limit() =
+# TakeOrderedAndProject. At 100 TB the (tok, doc_id, tf) posting table
+# is a write-once inverted index and only the scoring tail runs per
+# query.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["window", "stream", "sort"]
+BM25_TOPK = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 rank of the fixed term query; returns (doc_id, bm25)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.withColumn(
+        "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row -> broadcast cross join
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        postings.join(F.broadcast(dfs), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _sql_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    p AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        WHERE tok IN ({terms})
+        GROUP BY doc_id, tok
+    ),
+    dfs AS (SELECT tok, count(*) AS df FROM p GROUP BY tok)
+    SELECT p.doc_id,
+           round(sum(
+               ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+               * p.tf * ({BM25_K1} + 1.0)
+               / (p.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM p
+    JOIN dfs USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY p.doc_id
+    ORDER BY bm25 DESC, p.doc_id ASC
+    LIMIT {BM25_TOPK}
+"""
+
+
+SEARCH_QUERIES = {
+    "semantic_search": q_semantic_search,
+    "bm25_search": q_bm25_search,
+}
+SEARCH_ORACLES = {
+    "semantic_search": _sql_semantic_search(),
+    "bm25_search": _sql_bm25_search(),
+}
