@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_cap",
     "ngram_topk",
+    "bm25_search",
+    "tpch_q12",
+    "tpch_q19",
 ]
 
 

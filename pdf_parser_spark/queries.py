@@ -605,6 +605,58 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-split shipping stats; the testdata
+    lineitem has no l_shipmode/commitdate, so l_linestatus plays the
+    grouping column and the ship-year window plays the receipt window —
+    the query's defining feature, the CASE-sum split of high- vs
+    low-priority orders inside one aggregate, is kept exactly). One
+    shuffle: the orders join probes on l_orderkey, the CASE sums
+    combine map-side, and the date filter is pushed to the lineitem
+    parquet scan (PushedFilters on l_shipdate)."""
+    line = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        line.join(orders, line["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicate): three
+    brand/size/quantity bands OR-ed together. part is a dimension —
+    broadcast, so lineitem never shuffles; the disjunction references
+    both sides and evaluates post-join inside whole-stage codegen. The
+    partkey equi-key is the join condition (Catalyst extracts it; the
+    naive reading of Q19 as a pure theta-join would be a cross join).
+    Returns one row."""
+    line = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = line.join(F.broadcast(part), line["l_partkey"] == part["p_partkey"])
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -878,6 +930,29 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
     """,
+    "tpch_q12": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
 }
 
 QUERIES = {
@@ -910,4 +985,6 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "tpch_q4": q_tpch_q4,
     "tpch_q18": q_tpch_q18,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q19": q_tpch_q19,
 }
