@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "tpch_q12",
     "tpch_q19",
+    "sequence_pack",
 ]
 
 

@@ -1874,6 +1874,71 @@ SQL_DUP_CLUSTERS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing — the training-export step: concatenate documents
+# into fixed token-budget sequences (GPT-style concat-and-chunk
+# packing). Packing is deliberately BUCKET-LOCAL: docs are hashed into
+# PACK_BUCKETS independent streams and each stream packs greedily in
+# doc_id order, so the cumulative-sum window partitions on bucket (32
+# parallel tasks here; at 100 TB raise PACK_BUCKETS to the shard count
+# and every packer is an independent partition — no global window, no
+# single-task sort). A global greedy packer would serialize the whole
+# corpus through one task for ~1% less padding; bucket-local is the
+# scale-correct trade and keeps assignment deterministic/resumable
+# (hash + doc_id order, no RNG).
+# ---------------------------------------------------------------------------
+
+PACK_BUCKETS = 32
+PACK_BUDGET = 256
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into <=PACK_BUDGET-token sequences per hash bucket;
+    returns one row per packed sequence (bucket, seq_id, n_docs,
+    seq_tokens). A doc longer than the budget occupies its own
+    sequence(s) — floor((cum-tok)/budget) semantics, identical on both
+    engines."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.alias("n_tok"),
+        (_doc_hash_bucket(PACK_BUCKETS)).cast("int").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    packed = d.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(PACK_BUDGET)).cast("bigint"),
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        )
+        .select("bucket", "seq_id", "n_docs", "seq_tokens")
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+    SELECT bucket, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+    FROM (
+        SELECT bucket, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
+                           - n_tok) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {PACK_BUCKETS} AS INT) AS bucket
+            FROM documents
+        )
+    )
+    GROUP BY bucket, seq_id
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "dup_clusters": q_dup_clusters,
@@ -1900,6 +1965,7 @@ DATAOPS_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
     "ngram_topk": q_ngram_topk,
+    "sequence_pack": q_sequence_pack,
 }
 
 DATAOPS_ORACLES = {
@@ -1928,4 +1994,5 @@ DATAOPS_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "ngram_topk": SQL_NGRAM_TOPK,
+    "sequence_pack": SQL_SEQUENCE_PACK,
 }
