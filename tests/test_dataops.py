@@ -287,3 +287,66 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "doc_a string, doc_b string")
     assert connected_components(pairs).count() == 0
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing conserves docs/tokens, never splits a doc, and every
+    sequence starts inside its own budget window (a doc that straddles
+    the boundary stays in the bin where it starts)."""
+    from pdf_parser_spark.dataops import (
+        PACK_BUCKETS,
+        PACK_BUDGET,
+        _doc_hash_bucket,
+        q_sequence_pack,
+    )
+
+    packed = q_sequence_pack(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    assert packed["n_docs"].sum() == n_docs
+    assert (packed["bucket"] >= 0).all() and (packed["bucket"] < PACK_BUCKETS).all()
+    assert (packed["seq_id"] >= 0).all()
+    # per-bucket: seq_ids are dense from 0 and tokens are conserved
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        _doc_hash_bucket(PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    ).groupBy("bucket").agg(F.sum("n_tok").alias("total")).toPandas()
+    got = packed.groupby("bucket")["seq_tokens"].sum().reset_index()
+    merged = tok.merge(got, on="bucket")
+    assert (merged["total"] == merged["seq_tokens"]).all()
+    for _, grp in packed.groupby("bucket"):
+        seqs = sorted(grp["seq_id"].tolist())
+        assert seqs == list(range(len(seqs)))
+    # a sequence holds at least one doc; multi-doc sequences exist at
+    # this budget (the packing actually packs)
+    assert (packed["n_docs"] >= 1).all()
+    assert (packed["n_docs"] > 1).any()
+
+
+def test_bm25_monotone_in_tf(spark):
+    """BM25 sanity on a controlled corpus: more matching terms => higher
+    score; a doc without the term scores nothing."""
+    import pandas as pd
+
+    from pdf_parser_spark import search as s
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [
+                "window window window stream",
+                "window stream",
+                "nothing relevant here",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = s.q_bm25_search(spark, td).toPandas().set_index("doc_id")
+    assert "c" not in out.index
+    assert out.loc["a", "bm25"] > out.loc["b", "bm25"] > 0
