@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "tpch_q12",
     "tpch_q19",
     "sequence_pack",
+    "salted_join",
 ]
 
 

@@ -117,3 +117,40 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         on, ts, *out_left, *[f"{right_prefix}{c}" for c in r_cols + [ts]]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """SKEW-SALTED inner equi-join: defuses a hot join key by
+    splitting each key's left rows across ``n_salts`` sub-keys and
+    replicating the right side once per salt, so the shuffle spreads a
+    hot key over n_salts reducers instead of hanging the stage on one
+    straggler task.
+
+    - left gains ``_salt = pmod(hash(all left columns), n_salts)`` —
+      deterministic but effectively uniform per row; the salt value
+      never affects the join RESULT, only row placement;
+    - right is exploded n_salts× (its total replicated size must stay
+      << the left side — the technique targets big-left × medium-right
+      where the right is too large to broadcast but cheap to
+      replicate a few times);
+    - equi-join on (key, _salt) — a plain hash join whose build rows
+      per reducer are right/n_salts-sharded copies.
+
+    AQE's skewedJoin covers sort-merge skew automatically at runtime;
+    explicit salting remains the portable fix when AQE can't split
+    (e.g. a single key bigger than any split threshold, or
+    aggregation-feeding windows downstream). Result is identical to
+    ``left.join(right, on)``.
+    """
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_l.join(salted_r, [on, "_salt"], "inner").drop("_salt")

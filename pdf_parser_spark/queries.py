@@ -657,6 +657,28 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join surface (joins.salted_join): enrich the events
+    fact with a per-user profile on user_id — the events table
+    concentrates ~67 events/user on 15 users at sf0.001 (hot keys),
+    the exact shape where an unsalted shuffle join serializes a hot
+    key into one reducer. The salted plan spreads each user over 8
+    sub-keys; the result is provably identical to the plain join (the
+    oracle IS the plain join). Profile side is events-derived here to
+    stay self-contained; at 100 TB it is any medium dimension too big
+    to broadcast."""
+    from .joins import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        F.count("*").alias("user_events"),
+        F.round(F.sum("value"), 2).alias("user_value"),
+    )
+    return salted_join(
+        events.select("event_id", "user_id", "event_type"), profile, on="user_id"
+    ).select("event_id", "user_id", "event_type", "user_events", "user_value")
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -953,6 +975,16 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
     """,
+    "salted_join": """
+        SELECT e.event_id, e.user_id, e.event_type, p.user_events, p.user_value
+        FROM events e
+        JOIN (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS user_events,
+                   round(sum(value), 2) AS user_value
+            FROM events GROUP BY user_id
+        ) p USING (user_id)
+    """,
 }
 
 QUERIES = {
@@ -987,4 +1019,5 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,
     "tpch_q19": q_tpch_q19,
+    "salted_join": q_salted_join,
 }
