@@ -1177,8 +1177,11 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup cluster survives).
 
     Plan shape: quality + lang are narrow maps joined on doc_id; the
-    dup side reuses the bucketed minhash path; the removal is a
-    broadcast anti-join (dup list is a tiny fraction of the corpus)."""
+    dup side reuses the bucketed minhash path; the removal is an
+    anti-join with NO forced broadcast — the dup-list size scales with
+    the corpus dup rate (30-50% on real web crawls), so the hint is
+    left to AQE, which broadcasts iff the measured size is under the
+    threshold and falls back to a shuffle join otherwise."""
     qual = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
     lang = q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
     dups = (
@@ -1190,7 +1193,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qual.join(lang, "doc_id")
         .filter((F.col("quality_score") >= QUALITY_MIN) & (F.col("lang_pred") == "en"))
-        .join(F.broadcast(dups), "doc_id", "left_anti")
+        .join(dups, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality_score")
     )
 
@@ -1225,6 +1228,7 @@ SQL_CORPUS_FILTER = f"""
 # config knob, the plan is identical at any n.
 CONTAM_N = 2
 CONTAM_BENCH_MOD = 97  # "benchmark" docs: doc_id % 97 == 0 (deterministic holdout)
+CONTAM_BCAST_MAX = 5_000_000  # distinct bench grams above which the broadcast is skipped
 CONTAM_THRESHOLD = 0.3  # ~70th pctile of the synthetic ratio distribution -> a real split
 
 
@@ -1234,12 +1238,16 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 97 == 0 stand in for an eval suite). Contaminated docs
     must be dropped before pretraining.
 
-    Scale: the benchmark gram set is tiny relative to the corpus (eval
-    suites are MBs vs TBs) -> built once, broadcast; the corpus side is
-    a narrow explode + broadcast semi-join + one groupBy(doc_id) —
-    the corpus never shuffles on the gram key. Zero-hit docs are kept
-    via a left join against the per-doc gram counts (computed at array
-    level, before the explode, so empty docs cost nothing)."""
+    Scale: a REAL eval suite is MBs vs TBs, so the gram set broadcasts
+    and the corpus never shuffles on the gram key — but THIS holdout is
+    doc_id % 97 == 0 (~1% of the corpus), whose gram set grows linearly
+    with corpus size. The broadcast is therefore GUARDED: a cheap count
+    of the bench gram set picks broadcast under CONTAM_BCAST_MAX
+    distinct grams and a plain shuffle semi-join above it (AQE may
+    still demote that to broadcast if the measured bytes are small).
+    Zero-hit docs are kept via a left join against the per-doc gram
+    counts (computed at array level, before the explode, so empty docs
+    cost nothing)."""
     from pyspark import StorageLevel
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
@@ -1257,14 +1265,20 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench_g = (
         grams_df.filter(is_bench).select(F.explode("gs").alias("g")).distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Guarded broadcast (see docstring): the count() is one tiny job
+    # over the already-persisted gram projection.
+    if bench_g.count() <= CONTAM_BCAST_MAX:
+        bench_side = F.broadcast(bench_g)
+    else:
+        bench_side = bench_g
     base = grams_df.filter(~is_bench).select(
         "doc_id", F.size("gs").cast("long").alias("n_grams")
     )
     hits = (
         grams_df.filter(~is_bench)
         .select("doc_id", F.explode("gs").alias("g"))
-        .join(F.broadcast(bench_g), "g", "leftsemi")
+        .join(bench_side, "g", "leftsemi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1836,9 +1850,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             break
     else:
         raise RuntimeError(f"dup_clusters did not converge in {CC_MAX_ITERS} rounds")
+    # No broadcast hint on `sizes`: one row per cluster is O(nodes) in
+    # the worst case (billions of 2-doc clusters at web scale). A plain
+    # shuffle join on lbl costs one extra exchange of a 2-column table;
+    # AQE still broadcasts it when the measured size is actually small.
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     out = (
-        labels.join(F.broadcast(sizes), "lbl")
+        labels.join(sizes, "lbl")
         .select(
             "doc_id",
             F.col("lbl").alias("cluster_id"),

@@ -147,10 +147,28 @@ def salted_join(
     aggregation-feeding windows downstream). Result is identical to
     ``left.join(right, on)``.
     """
+    # Collision-free temp column: a caller-owned "_salt" column must
+    # survive untouched, so pick a name present in neither schema.
+    salt = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt in taken:
+        salt = "_" + salt
+    # Hash only hashable column types: F.hash raises at analysis time
+    # for MapType, and VariantType is similarly unhashable. The salt
+    # only needs per-row spread, not full-row identity, so dropping
+    # unhashable columns from the hash input is semantics-free.
+    unhashable = {"map", "variant"}
+    hash_cols = [
+        f.name
+        for f in left.schema.fields
+        if f.dataType.typeName() not in unhashable
+    ]
+    if not hash_cols:
+        raise ValueError("salted_join: left side has no hashable columns to salt on")
     salted_l = left.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        salt, F.pmod(F.hash(*[F.col(c) for c in hash_cols]), F.lit(n_salts))
     )
     salted_r = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        salt, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return salted_l.join(salted_r, [on, "_salt"], "inner").drop("_salt")
+    return salted_l.join(salted_r, [on, salt], "inner").drop(salt)

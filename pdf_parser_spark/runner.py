@@ -154,6 +154,31 @@ def run_extraction(
         bucketed = with_bucket(transcripts, n_buckets)
         if not os.path.exists(os.path.join(staging, "_SUCCESS")):
             bucketed.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        else:
+            # Resume path: the run continues on the FROZEN staged copy;
+            # the caller's (possibly corrected) DataFrame is ignored by
+            # design so a resumed run is bit-identical to the original.
+            # Fail loudly if the caller's schema drifted from the
+            # staged one — that is a different input, not a resume —
+            # and warn visibly either way so a silently-discarded fix
+            # is at least diagnosable from the logs.
+            staged_schema = spark.read.parquet(staging).schema
+            # name+type only: parquet read-back flips nullability
+            want = sorted((f.name, f.dataType.simpleString()) for f in bucketed.schema.fields)
+            got = sorted((f.name, f.dataType.simpleString()) for f in staged_schema.fields)
+            if want != got:
+                raise ValueError(
+                    f"run_extraction: resuming {out_dir} but the passed "
+                    f"DataFrame's schema differs from the staged input "
+                    f"(staged {got} vs passed {want}); delete {staging} "
+                    f"to restart from the new input"
+                )
+            print(
+                f"[runner] WARNING: resuming from frozen staged input at "
+                f"{staging}; the passed DataFrame is ignored "
+                f"(delete the staging dir to re-stage)",
+                flush=True,
+            )
         # explicit schema: an all-empty input stages only _SUCCESS (no
         # data files), and a schema-less read would fail to infer
         staged = spark.read.schema(bucketed.schema).parquet(staging)
