@@ -1911,11 +1911,27 @@ PACK_BUDGET = 256
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack docs into <=PACK_BUDGET-token sequences per hash bucket;
-    returns one row per packed sequence (bucket, seq_id, n_docs,
-    seq_tokens). A doc longer than the budget occupies its own
-    sequence(s) — floor((cum-tok)/budget) semantics, identical on both
-    engines."""
+    """Concat-and-chunk training export: the doc->sequence ASSIGNMENT
+    table a packer actually writes. Within each hash bucket, docs in
+    doc_id order form one continuous token stream; sequence s covers
+    stream positions [s*B, (s+1)*B), so EVERY sequence is exactly
+    PACK_BUDGET tokens (the last per bucket may be shorter) and a doc
+    straddling a boundary — or longer than the budget — is SPLIT
+    across sequences. One output row per (doc, sequence) slice:
+
+      (bucket, seq_id, doc_id, doc_start, doc_end, seq_off)
+
+    where [doc_start, doc_end) is the token slice of the doc and
+    seq_off its position inside the sequence. Invariants (pinned by
+    tests/test_dataops): per-seq slice lengths sum to <= PACK_BUDGET
+    (== for all but each bucket's final sequence), per-doc slices
+    cover [0, n_tok) contiguously — no token lost or duplicated.
+
+    Plan: cumulative-sum window partitioned on bucket (independent
+    parallel packers, no global sort), then an array-level
+    F.sequence + explode fans each doc to the sequences it overlaps —
+    fan-out per doc is ceil(n_tok/B)+1 rows max, so the explode is
+    bounded and shuffle-free."""
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1923,37 +1939,62 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_doc_hash_bucket(PACK_BUCKETS)).cast("int").alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy("doc_id")
-    packed = d.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "seq_id",
-        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(PACK_BUDGET)).cast("bigint"),
-    )
-    return (
-        packed.groupBy("bucket", "seq_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+    b = F.lit(PACK_BUDGET)
+    staged = (
+        d.withColumn("g1", F.sum("n_tok").over(w))
+        .withColumn("g0", F.col("g1") - F.col("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("g0") / b).cast("bigint"),
+                    F.floor((F.col("g1") - 1) / b).cast("bigint"),
+                )
+            ),
         )
-        .select("bucket", "seq_id", "n_docs", "seq_tokens")
+    )
+    return staged.select(
+        "bucket",
+        "seq_id",
+        "doc_id",
+        F.greatest(F.lit(0).cast("long"), F.col("seq_id") * b - F.col("g0"))
+        .alias("doc_start"),
+        F.least(F.col("n_tok"), (F.col("seq_id") + 1) * b - F.col("g0"))
+        .alias("doc_end"),
+        F.greatest(F.lit(0).cast("long"), F.col("g0") - F.col("seq_id") * b)
+        .alias("seq_off"),
     )
 
 
 SQL_SEQUENCE_PACK = f"""
-    SELECT bucket, seq_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS seq_tokens
-    FROM (
-        SELECT bucket, n_tok,
-               CAST(floor((sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id)
-                           - n_tok) / {PACK_BUDGET}) AS BIGINT) AS seq_id
-        FROM (
-            SELECT doc_id,
-                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
-                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) % {PACK_BUCKETS} AS INT) AS bucket
-            FROM documents
-        )
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {PACK_BUCKETS} AS INT) AS bucket
+        FROM documents
+    ),
+    c AS (
+        SELECT bucket, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS g1
+        FROM d
+    ),
+    s AS (
+        SELECT bucket, doc_id, n_tok, g1 - n_tok AS g0, g1 FROM c WHERE n_tok > 0
+    ),
+    e AS (
+        SELECT bucket, doc_id, n_tok, g0, g1,
+               unnest(range(CAST(floor(g0 / {PACK_BUDGET}) AS BIGINT),
+                            CAST(floor((g1 - 1) / {PACK_BUDGET}) AS BIGINT) + 1))
+                   AS seq_id
+        FROM s
     )
-    GROUP BY bucket, seq_id
+    SELECT bucket, seq_id, doc_id,
+           CAST(greatest(0, seq_id * {PACK_BUDGET} - g0) AS BIGINT) AS doc_start,
+           CAST(least(n_tok, (seq_id + 1) * {PACK_BUDGET} - g0) AS BIGINT) AS doc_end,
+           CAST(greatest(0, g0 - seq_id * {PACK_BUDGET}) AS BIGINT) AS seq_off
+    FROM e
 """
 
 

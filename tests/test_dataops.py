@@ -290,39 +290,61 @@ def test_connected_components_empty_pairs(spark):
 
 
 def test_sequence_pack_invariants(spark):
-    """Packing conserves docs/tokens, never splits a doc, and every
-    sequence starts inside its own budget window (a doc that straddles
-    the boundary stays in the bin where it starts)."""
+    """The assignment table is a lossless re-chunking: every sequence
+    holds exactly PACK_BUDGET tokens (each bucket's last may be
+    shorter), every doc's slices cover [0, n_tok) contiguously — no
+    token lost or duplicated — and boundary-straddling docs are split."""
     from pdf_parser_spark.dataops import (
         PACK_BUCKETS,
         PACK_BUDGET,
         _doc_hash_bucket,
         q_sequence_pack,
     )
+    from pyspark.sql import functions as F
 
     packed = q_sequence_pack(spark, SF_DIR).toPandas()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n_docs = docs.count()
-    assert packed["n_docs"].sum() == n_docs
+    packed["slice_len"] = packed["doc_end"] - packed["doc_start"]
+    assert (packed["slice_len"] > 0).all()
     assert (packed["bucket"] >= 0).all() and (packed["bucket"] < PACK_BUCKETS).all()
     assert (packed["seq_id"] >= 0).all()
-    # per-bucket: seq_ids are dense from 0 and tokens are conserved
-    from pyspark.sql import functions as F
 
-    tok = docs.select(
-        _doc_hash_bucket(PACK_BUCKETS).alias("bucket"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
-    ).groupBy("bucket").agg(F.sum("n_tok").alias("total")).toPandas()
-    got = packed.groupby("bucket")["seq_tokens"].sum().reset_index()
-    merged = tok.merge(got, on="bucket")
-    assert (merged["total"] == merged["seq_tokens"]).all()
-    for _, grp in packed.groupby("bucket"):
+    # hard cap: every sequence <= PACK_BUDGET; all but the last per
+    # bucket are exactly full
+    per_seq = (
+        packed.groupby(["bucket", "seq_id"])["slice_len"].sum().reset_index()
+    )
+    assert (per_seq["slice_len"] <= PACK_BUDGET).all()
+    last_seq = per_seq.groupby("bucket")["seq_id"].max().reset_index()
+    full = per_seq.merge(last_seq, on="bucket", suffixes=("", "_last"))
+    non_last = full[full["seq_id"] != full["seq_id_last"]]
+    assert (non_last["slice_len"] == PACK_BUDGET).all()
+    # seq_ids dense from 0 per bucket
+    for _, grp in per_seq.groupby("bucket"):
         seqs = sorted(grp["seq_id"].tolist())
         assert seqs == list(range(len(seqs)))
-    # a sequence holds at least one doc; multi-doc sequences exist at
-    # this budget (the packing actually packs)
-    assert (packed["n_docs"] >= 1).all()
-    assert (packed["n_docs"] > 1).any()
+
+    # per-doc: slices are contiguous, start at 0, end at n_tok
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    ).toPandas()
+    for doc_id, grp in packed.sort_values(["doc_id", "doc_start"]).groupby("doc_id"):
+        starts = grp["doc_start"].tolist()
+        ends = grp["doc_end"].tolist()
+        assert starts[0] == 0
+        assert starts[1:] == ends[:-1], f"doc {doc_id} slices not contiguous"
+    per_doc = packed.groupby("doc_id")["slice_len"].sum().reset_index()
+    merged = tok.merge(per_doc, on="doc_id", how="left").fillna(0)
+    assert (merged["n_tok"] == merged["slice_len"]).all()
+
+    # the packing actually splits: some doc spans >1 sequence, and
+    # some sequence holds >1 doc
+    assert (packed.groupby("doc_id")["seq_id"].count() > 1).any()
+    assert (packed.groupby(["bucket", "seq_id"])["doc_id"].count() > 1).any()
+    # slice offset inside the sequence is consistent: seq_off + running
+    # position never exceeds the budget
+    assert (packed["seq_off"] + packed["slice_len"] <= PACK_BUDGET).all()
 
 
 def test_bm25_monotone_in_tf(spark):
