@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_accuracy",
     "semantic_search",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
@@ -107,6 +108,14 @@ def _time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+# min-of-N interleaved passes (like the scaling legs): the host shows
+# ~2x CPU-noise swings, so a single-run suite cannot attribute a
+# per-query regression to code vs noise. Interleaving (pass 1 of all
+# queries, then pass 2, ...) decorrelates a noisy window from any one
+# query; min is the standard noise-floor estimator.
+BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+
 def run_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
@@ -117,19 +126,31 @@ def run_bench(spark, sf_dir: str) -> dict:
     # throughput, not process startup (~9s of a 12s cold run).
     transcripts = transcripts_from_documents(spark, sf_dir, convs=200)
     extract_turns(transcripts.limit(300), include_blocks=False).count()
-    t0 = time.perf_counter()
-    extracted = extract_turns(transcripts, include_blocks=False)
-    metrics_row = run_metrics(extracted).collect()[0].asDict()
-    extract_sec = time.perf_counter() - t0
+    extract_sec = float("inf")
+    turns = 0
+    metrics_row: dict = {}
+    for _ in range(BENCH_PASSES):
+        t0 = time.perf_counter()
+        extracted = extract_turns(transcripts, include_blocks=False)
+        metrics_row = run_metrics(extracted).collect()[0].asDict()
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_turns"] = round(extract_sec, 3)
     turns = int(metrics_row["turns_parsed"])
 
-    for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        sec, _ = _time_query(fn, spark, sf_dir)
-        timings[name] = round(sec, 3)
+    from pdf_parser_spark.dataops import clear_memo_caches
+
+    for _ in range(BENCH_PASSES):
+        # fresh memo caches per pass: min-of-N must measure the
+        # operator, not a pass-2 cache hit on the shared pair table
+        clear_memo_caches()
+        for name in BENCH_QUERIES:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            sec, _ = _time_query(fn, spark, sf_dir)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

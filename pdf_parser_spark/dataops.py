@@ -718,6 +718,88 @@ SQL_ANN_IVF_TOPK = f"""
 
 
 # ---------------------------------------------------------------------------
+# ANN accuracy: recall@k of the approximate paths vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def q_ann_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two approximate ANN paths (LSH, IVF) against the
+    exact brute-force top-5 — the first question a user asks before
+    trusting approximate output at 100 TB. One row per (query, method):
+    k_returned, n_overlap with the exact set, recall_at_5, and ids_md5
+    (md5 over the sorted neighbor-id list, so the EXACT retrieved set
+    is value-pinned, not just its overlap count). Measured floor on
+    the synthetic corpus: mean recall >= 0.6 for both methods
+    (tests/test_dataops.py pins it); tune LSH_N_TABLES / IVF_NPROBE if
+    a corpus change drops below.
+
+    Plan: reuses the three ANN plans (all bucketed/broadcast — see
+    their docstrings); the comparison itself joins only per-query
+    top-k lists (k*n_queries rows), driver-negligible at any scale."""
+    k = LSH_TOPK
+    exact = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    def measure(df: DataFrame, method: str) -> DataFrame:
+        ids = df.groupBy("query_id").agg(
+            F.count("*").alias("k_returned"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.collect_list(F.col("neighbor_id").cast("string"))),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        )
+        ov = (
+            df.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_overlap"))
+        )
+        return ids.join(ov, "query_id", "left").select(
+            "query_id",
+            F.lit(method).alias("method"),
+            F.col("k_returned").cast("long").alias("k_returned"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_5"),
+            "ids_md5",
+        )
+
+    lsh = measure(q_ann_lsh_topk(spark, sf_dir), "lsh")
+    ivf = measure(q_ann_ivf_topk(spark, sf_dir), "ivf")
+    return lsh.unionByName(ivf)
+
+
+def _sql_ann_accuracy() -> str:
+    k = LSH_TOPK
+    return f"""
+    WITH exact5 AS (
+        SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) WHERE rank <= {k}
+    ),
+    lsh AS ({_sql_ann_lsh_topk()}),
+    ivf AS ({SQL_ANN_IVF_TOPK}),
+    m AS (
+        SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+        UNION ALL
+        SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+    )
+    SELECT m.query_id, m.method,
+           CAST(count(*) AS BIGINT) AS k_returned,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(e.neighbor_id) * 1.0 / {k}, 6) AS recall_at_5,
+           md5(array_to_string(list_sort(list(CAST(m.neighbor_id AS VARCHAR))), ','))
+               AS ids_md5
+    FROM m LEFT JOIN exact5 e
+      ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+    GROUP BY m.query_id, m.method
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: language-ID, quality score, token counts, fingerprint
 # ---------------------------------------------------------------------------
 
@@ -1810,6 +1892,21 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_memo_caches() -> None:
+    """Drop the shingle/pair memo tables (bench uses this between its
+    interleaved passes so min-of-N measures the operator, not a cache
+    hit; within one pass the reuse is intentional — corpus_filter and
+    dup_clusters share the minhash pair plan like a real pipeline
+    shares a write-once table)."""
+    for cache in (_SHINGLE_CACHE, _PAIR_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — a dead session is fine
+                pass
+        cache.clear()
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
     """Min-label-propagation CC over an undirected pair list
     ``(doc_a, doc_b)``; see q_dup_clusters for the scale story.
@@ -2007,6 +2104,7 @@ DATAOPS_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_accuracy": q_ann_accuracy,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -2036,6 +2134,7 @@ DATAOPS_ORACLES = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_accuracy": _sql_ann_accuracy(),
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -109,25 +109,20 @@ def test_media_pipeline_schema_and_counts(spark):
 
 
 def test_ann_recall_floors(spark):
-    """Approximate paths must stay useful: recall@5 vs brute force.
-    Measured at sf0.001: LSH (8 tables x 4 planes) 0.72, IVF
-    (16 lists, nprobe 4) 0.64 — floors leave margin for data drift."""
-    from pdf_parser_spark.dataops import q_ann_ivf_topk
+    """Approximate paths must stay useful: recall@5 vs brute force via
+    the q_ann_accuracy contract query. Measured at sf0.001: LSH
+    (8 tables x 4 planes) 0.72, IVF (16 lists, nprobe 4) 0.64 —
+    floors leave margin for data drift."""
+    from pdf_parser_spark.dataops import q_ann_accuracy
 
-    brute = {
-        (r["query_id"], r["neighbor_id"])
-        for r in q_ann_cosine_topk(spark, SF_DIR).filter(F.col("rank") <= 5).collect()
-    }
-    lsh = {
-        (r["query_id"], r["neighbor_id"])
-        for r in q_ann_lsh_topk(spark, SF_DIR).collect()
-    }
-    ivf = {
-        (r["query_id"], r["neighbor_id"])
-        for r in q_ann_ivf_topk(spark, SF_DIR).collect()
-    }
-    assert len(brute & lsh) / len(brute) >= 0.5
-    assert len(brute & ivf) / len(brute) >= 0.4
+    acc = q_ann_accuracy(spark, SF_DIR).toPandas()
+    mean_recall = acc.groupby("method")["recall_at_5"].mean()
+    assert mean_recall["lsh"] >= 0.5
+    assert mean_recall["ivf"] >= 0.4
+    # k_returned is never above the configured top-k and every row's
+    # overlap is consistent with its recall
+    assert (acc["k_returned"] <= 5).all()
+    assert (abs(acc["n_overlap"] / 5 - acc["recall_at_5"]) < 1e-9).all()
 
 
 def test_kmeans_partition_properties(spark):
