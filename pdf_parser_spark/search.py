@@ -163,10 +163,22 @@ def rank_search(vecs: DataFrame, docs: DataFrame, query: str, topk: int = TOPK) 
 
 
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry: embed the corpus on the fly and run the
-    full search pipeline for the fixed default query."""
+    """Driver-contract entry, BOTH search paths: embed the corpus on
+    the fly (path='direct') AND write the persisted S6 index once then
+    answer from it (path='index') — the union proves in the gate that
+    the vector-store sink round-trips to the identical ranking. The
+    index is written to a per-process temp dir (the gate's write
+    surface; production writes once per corpus version)."""
+    import tempfile
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return rank_search(doc_vectors(docs), docs, DEFAULT_QUERY)
+    direct = rank_search(doc_vectors(docs), docs, DEFAULT_QUERY).withColumn(
+        "path", F.lit("direct")
+    )
+    index_dir = tempfile.mkdtemp(prefix="pps_search_index_")
+    write_search_index(docs, index_dir)
+    via_index = search_index(spark, index_dir).withColumn("path", F.lit("index"))
+    return direct.unionByName(via_index)
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +371,12 @@ SEARCH_QUERIES = {
     "bm25_search": q_bm25_search,
 }
 SEARCH_ORACLES = {
-    "semantic_search": _sql_semantic_search(),
+    # both engine paths (direct embed vs persisted index) must produce
+    # the identical ranking, so the oracle is the ranking x {path}
+    "semantic_search": f"""
+    SELECT s.rank, s.doc_id, s.similarity, p.path
+    FROM ({_sql_semantic_search()}) s
+    CROSS JOIN (VALUES ('direct'), ('index')) p(path)
+""",
     "bm25_search": _sql_bm25_search(),
 }

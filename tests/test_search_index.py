@@ -37,9 +37,14 @@ def test_index_schema(spark, index_dir):
 
 
 def test_index_search_matches_on_the_fly(spark, index_dir):
-    live = _rows(q_semantic_search(spark, SF_DIR))
+    # q_semantic_search now emits both paths tagged; the direct-path
+    # ranking must equal a query against THIS module's persisted index
+    both = q_semantic_search(spark, SF_DIR)
+    live = _rows(both.filter(both["path"] == "direct"))
+    gate_indexed = _rows(both.filter(both["path"] == "index"))
     indexed = _rows(search_index(spark, index_dir, DEFAULT_QUERY))
     assert indexed == live
+    assert gate_indexed == live
     assert len(indexed) > 0
 
 
