@@ -18,6 +18,8 @@ Layout (flat modules; kernels are the one subpackage)
 - ``streaming.py``  Structured Streaming analogues of the job queue
 - ``multimodal.py`` binary-column (image/audio) plumbing with stub decode
 - ``agent_tools.py``agent tool surface over the engine queries
+- ``agent.py``      deterministic ReAct loop over those tools (stub LLM)
+- ``suites.py``     composite driver-gate queries (operator -> gate key)
 """
 
 __version__ = "0.1.0"

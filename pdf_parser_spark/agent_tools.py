@@ -1,8 +1,8 @@
 """§2.10 agent tool surface: the reference's four agent tools
 re-expressed over the engine's tables (reference:
-services/agent/tools.py:125-232; the ReAct loop itself,
-services/agent/agent.py:221-308, is model-bound and out of scope —
-SURVEY.md §2.10 scopes this layer as a consumer of the engine).
+services/agent/tools.py:125-232). The deterministic ReAct loop that
+drives these tools (reference services/agent/agent.py:221-308) lives
+in agent.py; only the LLM itself is injected there.
 
 Each tool composes existing engine queries (search_index / rank_search,
 conversation_metrics, keyword filter) and renders the reference's
