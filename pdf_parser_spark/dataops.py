@@ -1070,16 +1070,12 @@ WINNOW_M = 2**31 - 1
 _WINNOW_P = [pow(WINNOW_B, WINNOW_GRAM - 1 - j, WINNOW_M) for j in range(WINNOW_GRAM)]
 
 
-def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
-    MOSS scheme): polynomial rolling hash over character 8-grams
-    (base 257 mod 2^31-1, powers precomputed driver-side and inlined in
-    both engines), then minimum-sampling — keep the min hash of every
-    4-gram window — distinct + sort + md5 for a compact per-doc
-    signature. Guarantees any shared substring of length
-    GRAM+WINDOW-1 = 11 chars contributes a shared selected hash, the
-    property bottom-k sketches (q_doc_fingerprint) lack. Pure column
-    expressions, zero shuffle."""
+def winnow_frame(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Append winnowing-fingerprint columns (``n_grams``, ``n_selected``,
+    ``fingerprint``) to a frame holding ``doc_id`` and ``t`` (the
+    lowercased text); ``carry`` columns pass through the staged narrow
+    projections untouched. Factored out so the doc_fingerprints suite
+    can compute both fingerprint families in ONE scan (suites.py)."""
     # CAST to BIGINT first: int32 * int32 overflows under ANSI mode
     terms = " + ".join(
         f"CAST(ascii(substring(t, i + {j}, 1)) AS BIGINT) * {_WINNOW_P[j]}"
@@ -1096,23 +1092,39 @@ def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(h) - {WINNOW_WINDOW - 1}), "
         f"w -> array_min(slice(h, w, {WINNOW_WINDOW}))) ELSE array() END"
     )
+    c = list(carry)
     return (
-        _docs(spark, sf_dir)
-        .selectExpr("doc_id", "lower(text) AS t")
-        .selectExpr("doc_id", f"{hashes} AS h")
-        .selectExpr("doc_id", "size(h) AS n_grams", f"{wins} AS wins")
+        df.selectExpr("doc_id", *c, f"{hashes} AS h")
+        .selectExpr("doc_id", *c, "size(h) AS n_grams", f"{wins} AS wins")
         .selectExpr(
             "doc_id",
+            *c,
             "CAST(n_grams AS BIGINT) AS n_grams",
             "array_sort(array_distinct(wins)) AS sel",
         )
         .selectExpr(
             "doc_id",
+            *c,
             "n_grams",
             "CAST(size(sel) AS BIGINT) AS n_selected",
             "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
         )
     )
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): polynomial rolling hash over character 8-grams
+    (base 257 mod 2^31-1, powers precomputed driver-side and inlined in
+    both engines), then minimum-sampling — keep the min hash of every
+    4-gram window — distinct + sort + md5 for a compact per-doc
+    signature. Guarantees any shared substring of length
+    GRAM+WINDOW-1 = 11 chars contributes a shared selected hash, the
+    property bottom-k sketches (q_doc_fingerprint) lack. Pure column
+    expressions, zero shuffle."""
+    return winnow_frame(
+        _docs(spark, sf_dir).selectExpr("doc_id", "lower(text) AS t")
+    ).select("doc_id", "n_grams", "n_selected", "fingerprint")
 
 
 def _sql_doc_winnow_fingerprint() -> str:

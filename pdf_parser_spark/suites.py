@@ -16,10 +16,17 @@ verbatim; plan-shape notes live on the members.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dataops import (
+    DE_STOP,
+    DOMAIN_CAP_K,
+    EN_STOP,
+    ES_STOP,
+    FR_STOP,
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
     SQL_DOC_FINGERPRINT,
     SQL_DOMAIN_CAP,
     SQL_EVENTS_PIVOT,
@@ -30,17 +37,15 @@ from .dataops import (
     SQL_TEXT_REPETITION,
     SQL_TOKEN_COUNT,
     SQL_TRAIN_TEST_SPLIT,
+    STRATA_RATES,
+    _doc_hash_bucket,
+    _docs,
+    _hits,
+    _shingles_col,
     _sql_doc_winnow_fingerprint,
-    q_doc_fingerprint,
-    q_doc_winnow_fingerprint,
-    q_domain_cap,
+    _tokens_col,
     q_kmv_distinct_users,
-    q_lang_id,
-    q_stratified_sample,
-    q_text_quality,
-    q_text_repetition,
-    q_token_count,
-    q_train_test_split,
+    winnow_frame,
 )
 from .multimodal import (
     SQL_MULTIMODAL_FRAMES,
@@ -73,35 +78,92 @@ from .queries import (
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-analysis suite: language ID vote, quality score,
-    token counts, repetition metrics — one wide row per doc. Members
-    are all zero-shuffle narrow maps (see their docstrings); the joins
-    on doc_id co-partition trivially and at scale would fuse into one
-    scan-side projection stage."""
-    lang = q_lang_id(spark, sf_dir)
-    qual = q_text_quality(spark, sf_dir)
-    toks = q_token_count(spark, sf_dir)
-    rep = q_text_repetition(spark, sf_dir).drop("n_tokens")
-    return (
-        lang.join(qual, "doc_id")
-        .join(toks, "doc_id")
-        .join(rep, "doc_id")
-        .select(
-            "doc_id",
-            "lang_true",
-            "lang_pred",
-            "stop_ratio",
-            "n_tokens",
-            "mean_token_len",
-            "alpha_ratio",
-            "stopword_ratio",
-            "quality_score",
-            "ws_tokens",
-            "word_tokens",
-            "bpe_est_tokens",
-            "distinct_ratio",
-            "top_token_frac",
-            "top_bigram_frac",
+    token counts, repetition metrics — one wide row per doc, computed
+    in ONE pass. The members stay available standalone, but composing
+    them as joins would scan the text-heavy documents table four times
+    and shuffle three times; here every metric is a column expression
+    over one scan (zero shuffle, one whole-stage-codegen projection) —
+    the shape a 100 TB metrics pass must have. The DuckDB oracle is
+    the members' SQL joined on doc_id, so any drift between this
+    projection and the member semantics fails the gate."""
+    toks = _tokens_col()
+    n_toks = F.size(toks)
+    # --- lang_id member (vote over stopword hit counts) ---
+    en, de, es, fr = (
+        _hits(toks, L) for L in (EN_STOP, DE_STOP, ES_STOP, FR_STOP)
+    )
+    best = F.greatest(en, de, es, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    # --- text_quality member ---
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop_ratio_en = en / F.greatest(n_toks, F.lit(1))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_toks, F.lit(1))
+    len_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
+    wlen_ok = F.when(
+        (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = 0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_ratio_en + 0.2 * wlen_ok
+    # --- token_count member ---
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    bpe = (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
         )
+        + punct.cast("long")
+    )
+    # --- text_repetition member ---
+    dist = F.array_distinct(toks)
+    top_tok = F.coalesce(
+        F.array_max(
+            F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+        ),
+        F.lit(0),
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        pred.alias("lang_pred"),
+        F.round(best / F.greatest(n_toks, F.lit(1)), 6).alias("stop_ratio"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio_en, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        ws.cast("long").alias("ws_tokens"),
+        n_toks.cast("long").alias("word_tokens"),
+        bpe.alias("bpe_est_tokens"),
+        F.round(F.size(dist) / F.greatest(n_toks, F.lit(1)), 6).alias("distinct_ratio"),
+        F.round(top_tok / F.greatest(n_toks, F.lit(1)), 6).alias("top_token_frac"),
+        F.round(top_bigram / F.greatest(F.size(bigrams), F.lit(1)), 6).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
@@ -124,16 +186,28 @@ SQL_TEXT_METRICS = f"""
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both document-fingerprint schemes side by side: the bottom-8
-    shingle sketch and the MOSS winnowing signature (members are pure
-    array-level column expressions — zero shuffle)."""
-    bk = q_doc_fingerprint(spark, sf_dir).select(
-        "doc_id", F.col("fingerprint").alias("fp_bottomk"), "n_shingles"
+    """Both document-fingerprint schemes side by side, in ONE scan:
+    the bottom-8 shingle sketch is computed as carry columns through
+    the winnowing frame's staged narrow projections (winnow_frame) —
+    no join, no second read of the text column. Members stay
+    zero-shuffle column expressions; oracle = the members' SQL joined
+    on doc_id, so the fused plan is held to the composed semantics."""
+    sh = _shingles_col(_tokens_col())
+    hs = F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, 8)
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.array_join(hs, "")).alias("fp_bottomk"),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.lower(F.col("text")).alias("t"),
     )
-    wn = q_doc_winnow_fingerprint(spark, sf_dir).select(
-        "doc_id", F.col("fingerprint").alias("fp_winnow"), "n_grams", "n_selected"
+    return winnow_frame(base, carry=("fp_bottomk", "n_shingles")).select(
+        "doc_id",
+        "fp_bottomk",
+        "n_shingles",
+        F.col("fingerprint").alias("fp_winnow"),
+        "n_grams",
+        "n_selected",
     )
-    return bk.join(wn, "doc_id")
 
 
 SQL_DOC_FINGERPRINTS = f"""
@@ -153,23 +227,45 @@ SQL_DOC_FINGERPRINTS = f"""
 def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-assembly decisions a pretraining mix makes per doc in
     one table: reproducible split, language-stratified keep flag, and
-    per-source cap rank (0 = capped out). Members are narrow hash maps
-    except the cap's per-source rank window (see q_domain_cap)."""
-    split = q_train_test_split(spark, sf_dir)
-    samp = q_stratified_sample(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("sample_kept")
+    per-source cap rank (0 = capped out) — ONE scan + the cap's ONE
+    per-source rank window, instead of three scans and two joins. All
+    three decisions are hash arithmetic over the same row, so they
+    fuse into the scan projection; only the domain-cap rank needs the
+    (per-source, no global sort) shuffle. Oracle = the members' SQL
+    left-joined on doc_id."""
+    bucket = _doc_hash_bucket(100)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
     )
-    cap = q_domain_cap(spark, sf_dir).select(
-        "doc_id", F.col("rk").cast("long").alias("cap_rank")
-    )
+    rate = None
+    for lang, r in STRATA_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if rate is None
+            else rate.when(F.col("lang") == lang, F.lit(r))
+        )
+    sample_kept = _doc_hash_bucket(10000) < rate.otherwise(F.lit(1.0)) * 10000
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
     return (
-        split.join(samp, "doc_id", "left")
-        .join(cap, "doc_id", "left")
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            split.alias("split"),
+            sample_kept.alias("sample_kept"),
+            _doc_hash_bucket(1_000_000_000).alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
         .select(
             "doc_id",
             "split",
-            F.coalesce("sample_kept", F.lit(False)).alias("sample_kept"),
-            F.coalesce("cap_rank", F.lit(0).cast("long")).alias("cap_rank"),
+            "sample_kept",
+            F.when(F.col("rk") <= DOMAIN_CAP_K, F.col("rk"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cap_rank"),
         )
     )
 
