@@ -65,8 +65,6 @@ from .queries import (
     q_tpch_q14,
     q_window_running_total,
     q_window_trailing,
-    q_json_props_stats,
-    q_value_quantiles,
 )
 
 
@@ -383,12 +381,28 @@ SQL_ROLLUP_SUITE = f"""
 def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type statistics suite: exact quantiles, JSON-prop
     aggregates (typed from_json, JVM-side), and the KMV distinct-count
-    sketch with its exact control — joined on the 5-row event_type
-    grain."""
-    qs = q_value_quantiles(spark, sf_dir)
-    js = q_json_props_stats(spark, sf_dir)
+    sketch with its exact control. The quantile and JSON members share
+    the groupBy(event_type) grain, so they fuse into ONE scan + ONE
+    aggregate here; only the KMV sketch keeps its own pass (its
+    per-(event_type, user_id) pre-aggregation is a different grain)
+    and joins back on the 5-row event_type result — AQE broadcasts
+    it. Oracle = the three members' SQL joined."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json("props", "k BIGINT")["k"]
+    fused = (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
     kmv = q_kmv_distinct_users(spark, sf_dir)
-    return qs.join(js, "event_type").join(kmv, "event_type").select(
+    return fused.join(kmv, "event_type").select(
         "event_type",
         "p50",
         "p90",
