@@ -1004,11 +1004,19 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0,1); estimate = (K-1)/u_K (Bar-Yossef et al.). Unlike HLL
     (approx_count_distinct), the md5-based KMV is bit-identical across
     engines, so the SKETCH ITSELF is oracle-checked, not just its
-    error bound. Plan: one groupBy carrying only K hashes per group
-    (sort_array + slice on the collected distinct mins — at cluster
-    scale swap collect_list for a proper bounded accumulator /
-    partial-merge UDAF; group count here is tiny). Exact count rides
-    along to show the estimation error."""
+    error bound. Exact count rides along to show the estimation error.
+
+    Plan (bounded state at any scale): bottom-k is merge-decomposable,
+    so the sketch is a two-level tree — per (event_type, salt-bucket)
+    keep the bottom-K of that bucket's distinct hashes, then merge the
+    bucket sketches per event_type (flatten + sort + slice over
+    <= 64*K doubles). The union of per-bucket bottom-Ks contains the
+    global bottom-K exactly (a globally-bottom-K hash is bottom-K
+    within its own bucket), so the result is identical to a one-pass
+    sketch while no merge state ever exceeds 64 K-element arrays —
+    the collect_list that previously gathered EVERY distinct user
+    hash per event_type is gone. The exact control count is a plain
+    countDistinct (its own partial-merge tree in Catalyst)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     frac = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
@@ -1019,9 +1027,17 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id")
         .agg(F.first("u").alias("u"))
     )
-    sk = per_key.groupBy("event_type").agg(
-        F.slice(F.sort_array(F.collect_list("u")), 1, KMV_K).alias("mins"),
-        F.countDistinct("user_id").alias("exact_distinct"),
+    per_bucket = per_key.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(64)).alias("bkt")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list("u")), 1, KMV_K).alias("bmins"),
+        F.count("*").alias("n_distinct"),
+    )
+    sk = per_bucket.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("bmins"))), 1, KMV_K).alias(
+            "mins"
+        ),
+        F.sum("n_distinct").alias("exact_distinct"),
     )
     kth = F.element_at("mins", KMV_K)
     est = F.when(
