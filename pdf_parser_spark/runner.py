@@ -272,3 +272,144 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def summarize(summary: dict) -> str:
     return json.dumps(summary, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (generational) ingest: the batch-snapshot analogue of the
+# reference's continuously-polling worker loop (services/worker/run.py:
+# 23-38) + upload dedup (services/ingest_api/app.py:188-197). Each
+# invocation processes only conversations not seen by any prior
+# generation and commits them as a new ``gen=K`` sub-run; conversations
+# are immutable once ingested (the reference's 409-on-duplicate-upload
+# contract at conversation grain).
+# ---------------------------------------------------------------------------
+
+
+def _roster_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_conv_roster")
+
+
+def _generations(out_dir: str) -> list[int]:
+    try:
+        names = os.listdir(out_dir)
+    except OSError:
+        return []
+    return sorted(
+        int(d.split("=", 1)[1]) for d in names if d.startswith("gen=")
+    )
+
+
+def _gen_complete(out_dir: str, g: int) -> bool:
+    """A generation is complete when its final metrics table committed
+    (run_extraction writes _metrics last, after every bucket)."""
+    return os.path.exists(
+        os.path.join(out_dir, f"gen={g}", "_metrics", "_SUCCESS")
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    salt_buckets: int = 16,
+    fail_bucket: int | None = None,
+) -> dict:
+    """Process only NEW conversations and commit them as generation
+    ``gen=K`` under ``out_dir``; repeated invocation over a growing
+    input is the batch equivalent of the reference's worker poll loop.
+
+    Mechanics (all O(new input) except one roster anti-join):
+    - the conversation roster (``_conv_roster``: one row per ingested
+      conv_id + its generation) is the dedup ledger; new work =
+      ``transcripts LEFT ANTI JOIN roster ON conv_id``. The roster is
+      one row per CONVERSATION, not per turn — at 10^12 turns it is a
+      ~10^8-row two-column table, joined by shuffle (never broadcast:
+      its size scales with corpus history).
+    - each generation is a full run_extraction sub-run: bucketed,
+      resumable, lineage-tracked, input frozen once staged. If the
+      latest generation died mid-run, this call RESUMES it (the staged
+      copy wins; the roster was not yet updated, so the anti-join
+      reproduces the same new-set for any buckets not yet staged).
+    - the roster row for a generation is appended only after the
+      generation completes; a crash between completion and the roster
+      append is healed on the next call by re-deriving the roster rows
+      from the committed generation output (idempotent: dedup by
+      conv_id keeps the first generation).
+    - an invocation that finds no new conversations writes nothing and
+      returns ``{"generation": None, "new_convs": 0}``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    gens = _generations(out_dir)
+
+    # heal: any COMPLETE generation missing from the roster gets its
+    # rows re-derived from its committed output
+    have_roster = os.path.exists(os.path.join(_roster_dir(out_dir), "_SUCCESS"))
+    rostered: set[int] = set()
+    if have_roster:
+        rostered = {
+            r["generation"]
+            for r in spark.read.parquet(_roster_dir(out_dir))
+            .select("generation")
+            .distinct()
+            .collect()
+        }
+    for g in gens:
+        if _gen_complete(out_dir, g) and g not in rostered:
+            (
+                read_extracted(spark, os.path.join(out_dir, f"gen={g}"))
+                .select("conv_id")
+                .distinct()
+                .withColumn("generation", F.lit(g))
+                .write.mode("append")
+                .parquet(_roster_dir(out_dir))
+            )
+            have_roster = True
+
+    new = transcripts
+    if have_roster:
+        roster = spark.read.parquet(_roster_dir(out_dir)).select("conv_id")
+        new = transcripts.join(roster, "conv_id", "left_anti")
+
+    # resume a half-finished latest generation instead of opening a new
+    # one (otherwise its partial output would double-count against the
+    # re-detected new-set in gen K+1)
+    if gens and not _gen_complete(out_dir, gens[-1]):
+        g = gens[-1]
+    else:
+        if new.limit(1).count() == 0:
+            return {"generation": None, "new_convs": 0, "buckets_processed": 0}
+        g = gens[-1] + 1 if gens else 0
+
+    gen_dir = os.path.join(out_dir, f"gen={g}")
+    summary = run_extraction(
+        spark, new, gen_dir, n_buckets=n_buckets,
+        salt_buckets=salt_buckets, fail_bucket=fail_bucket,
+    )
+    n_new = (
+        read_extracted(spark, gen_dir).select("conv_id").distinct().count()
+    )
+    (
+        read_extracted(spark, gen_dir)
+        .select("conv_id")
+        .distinct()
+        .withColumn("generation", F.lit(g))
+        .write.mode("append")
+        .parquet(_roster_dir(out_dir))
+    )
+    return {"generation": g, "new_convs": n_new, **summary}
+
+
+def read_incremental(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of every COMPLETE generation's extracted output."""
+    dirs = [
+        os.path.join(out_dir, f"gen={g}")
+        for g in _generations(out_dir)
+        if _gen_complete(out_dir, g)
+    ]
+    if not dirs:
+        return spark.createDataFrame([], schema=EXTRACTED_WITH_SEQ_SCHEMA)
+    out = read_extracted(spark, dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(read_extracted(spark, d))
+    return out

@@ -117,3 +117,54 @@ def test_empty_input_run_completes(spark, tmp_path):
     assert summary["buckets_processed"] == N_BUCKETS
     assert summary["turns_parsed"] == 0
     assert read_extracted(spark, out).count() == 0
+
+
+class TestIncremental:
+    """Generational ingest: only new conversations are processed per
+    invocation; a failed generation resumes; the union equals a direct
+    run over the full input."""
+
+    def test_generations_process_only_new_convs(self, spark, tmp_path):
+        from pdf_parser_spark.runner import read_incremental, run_incremental
+
+        out = str(tmp_path / "inc")
+        first = synth_transcripts_df(spark, n_convs=8)
+        s0 = run_incremental(spark, first, out, n_buckets=N_BUCKETS)
+        assert s0["generation"] == 0 and s0["new_convs"] == 8
+
+        # same input again: nothing new, nothing written
+        s1 = run_incremental(spark, first, out, n_buckets=N_BUCKETS)
+        assert s1["generation"] is None and s1["new_convs"] == 0
+
+        # grown input: only the 4 appended conversations are processed
+        grown = synth_transcripts_df(spark, n_convs=12)
+        s2 = run_incremental(spark, grown, out, n_buckets=N_BUCKETS)
+        assert s2["generation"] == 1 and s2["new_convs"] == 4
+        gen1 = read_extracted(spark, os.path.join(out, "gen=1"))
+        first_ids = {r["conv_id"] for r in first.select("conv_id").distinct().collect()}
+        assert not first_ids & {r["conv_id"] for r in gen1.select("conv_id").distinct().collect()}
+
+        # union over generations equals a direct run on the full input
+        assert _text_map(read_incremental(spark, out)) == _text_map(extract_turns(grown))
+
+    def test_failed_generation_resumes_not_duplicates(self, spark, tmp_path):
+        from pdf_parser_spark.runner import read_incremental, run_incremental
+
+        out = str(tmp_path / "inc_fail")
+        base = synth_transcripts_df(spark, n_convs=8)
+        run_incremental(spark, base, out, n_buckets=N_BUCKETS)
+        grown = synth_transcripts_df(spark, n_convs=12)
+
+        with pytest.raises(RuntimeError, match="failed"):
+            run_incremental(spark, grown, out, n_buckets=N_BUCKETS, fail_bucket=2)
+
+        # partial generation is not readable yet
+        assert read_incremental(spark, out).count() == base.count()
+
+        # re-invoking RESUMES generation 1 (no gen=2, no duplicates)
+        s = run_incremental(spark, grown, out, n_buckets=N_BUCKETS)
+        assert s["generation"] == 1 and s["new_convs"] == 4
+        inc = read_incremental(spark, out)
+        assert inc.count() == grown.count()
+        assert inc.select("conv_id", "turn_idx").distinct().count() == grown.count()
+        assert _text_map(inc) == _text_map(extract_turns(grown))
