@@ -31,8 +31,9 @@ from pdf_parser_spark.pipeline import (
 )
 from pdf_parser_spark.queries import QUERIES as _RELATIONAL_QUERIES
 from pdf_parser_spark.search import SEARCH_QUERIES
+from pdf_parser_spark.suites import SUITE_QUERIES
 
-QUERIES = {**_RELATIONAL_QUERIES, **DATAOPS_QUERIES, **SEARCH_QUERIES}
+QUERIES = {**_RELATIONAL_QUERIES, **DATAOPS_QUERIES, **SEARCH_QUERIES, **SUITE_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -66,6 +67,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_accuracy",
     "semantic_search",
+    "text_metrics",
+    "doc_fingerprints",
+    "corpus_assembly",
+    "events_type_stats",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "token_count",
