@@ -134,17 +134,22 @@ def run_bench(spark, sf_dir: str) -> dict:
     extract_sec = float("inf")
     turns = 0
     metrics_row: dict = {}
-    for _ in range(BENCH_PASSES):
-        t0 = time.perf_counter()
-        extracted = extract_turns(transcripts, include_blocks=False)
-        metrics_row = run_metrics(extracted).collect()[0].asDict()
-        extract_sec = min(extract_sec, time.perf_counter() - t0)
-    timings["extract_turns"] = round(extract_sec, 3)
-    turns = int(metrics_row["turns_parsed"])
 
     from pdf_parser_spark.dataops import clear_memo_caches
 
     for _ in range(BENCH_PASSES):
+        # The extraction headline is measured INSIDE the interleaved
+        # pass loop, not as 3 back-to-back runs up front: the host's
+        # CPU throughput swings ~2x over minutes, and three contiguous
+        # runs all land in the same window (observed: 19.9s min-of-3
+        # back-to-back vs 2.8s a few minutes later). Spreading the
+        # passes across the whole suite decorrelates the noise the
+        # same way it does for every other query.
+        t0 = time.perf_counter()
+        extracted = extract_turns(transcripts, include_blocks=False)
+        metrics_row = run_metrics(extracted).collect()[0].asDict()
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
+
         # fresh memo caches per pass: min-of-N must measure the
         # operator, not a pass-2 cache hit on the shared pair table
         clear_memo_caches()
@@ -155,6 +160,8 @@ def run_bench(spark, sf_dir: str) -> dict:
             sec, _ = _time_query(fn, spark, sf_dir)
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
+    timings["extract_turns"] = extract_sec
+    turns = int(metrics_row["turns_parsed"])
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
