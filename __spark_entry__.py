@@ -193,13 +193,21 @@ def _q_extract_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
-    return (
+    result = (
         family(turn_text, "turn_text")
         .unionByName(family(turn_spans, "turn_spans"))
         .unionByName(family(overlay, "overlay"))
         .unionByName(family(chunks, "chunk_text"))
         .unionByName(metrics)
     )
+    # The five consumers share `extracted` via the persist; the result
+    # is tiny (one row per family/metric), so materialize it eagerly
+    # and unpin the cached extraction — otherwise every gate/test
+    # invocation leaks one full cached extract_turns output for the
+    # session lifetime.
+    rows = result.collect()
+    extracted.unpersist()
+    return spark.createDataFrame(rows, schema=result.schema)
 
 
 _GOLDEN_DIR = "/root/repo/tests/golden"

@@ -118,7 +118,7 @@ def _time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
 # per-query regression to code vs noise. Interleaving (pass 1 of all
 # queries, then pass 2, ...) decorrelates a noisy window from any one
 # query; min is the standard noise-floor estimator.
-BENCH_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+BENCH_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
 
 def run_bench(spark, sf_dir: str) -> dict:

@@ -99,9 +99,16 @@ def extract_sources(tool_results: list[str]) -> list[dict[str, Any]]:
                 continue
             doc = rec.get("document_id") or rec.get("doc_id") or ""
             chunk = rec.get("chunk_id") or rec.get("block_id") or ""
-            page = rec.get("page") or rec.get("turn_idx") or 0
-            if not doc or not (chunk or page or rec.get("text")):
+            page = rec.get("page", rec.get("turn_idx"))
+            # a source must locate within the doc (chunk or page — and
+            # page/turn 0 is a real page, so test presence, not truth)
+            # or carry retrieval evidence (text, or a ranked
+            # similarity hit from search_chunks)
+            if doc == "" or not (
+                chunk or page is not None or "text" in rec or "rank" in rec
+            ):
                 continue
+            page = 0 if page is None else page
             key = f"{doc}:{chunk}:{page}"
             if key in seen:
                 continue
@@ -132,12 +139,23 @@ def build_registry(
         search_document_text,
     )
 
+    def _coerce_doc_id(v: Any) -> Any:
+        # text-markup tool calls deliver all args as strings; the
+        # embeddings doc_id column is bigint, so numeric strings must
+        # be coerced or the scoped filter fails at runtime (ANSI cast)
+        if isinstance(v, str) and v.strip().lstrip("-").isdigit():
+            return int(v.strip())
+        return v
+
     def _search_chunks(
         document_id: Any | None = None, n_results: Any = 5, **kw: Any
     ) -> str:
-        # text-markup tool calls deliver all args as strings
         return search_chunks(
-            vecs, docs, document_id=document_id, n_results=int(n_results), **kw
+            vecs,
+            docs,
+            document_id=_coerce_doc_id(document_id),
+            n_results=int(n_results),
+            **kw,
         )
 
     def _get_document(conv_id: str = "", document_id: Any | None = None, **kw: Any) -> str:

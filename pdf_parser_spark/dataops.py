@@ -738,6 +738,11 @@ def q_ann_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: reuses the three ANN plans (all bucketed/broadcast — see
     their docstrings); the comparison itself joins only per-query
     top-k lists (k*n_queries rows), driver-negligible at any scale."""
+    # recall_at_5 normalizes BOTH methods by one k; a future sweep
+    # that tunes IVF_TOPK away from LSH_TOPK would silently mis-scale
+    # the IVF recall (overlap/k over a longer candidate list), so the
+    # assumption is asserted rather than implied.
+    assert LSH_TOPK == IVF_TOPK, "ann_accuracy assumes a single k for both methods"
     k = LSH_TOPK
     exact = (
         q_ann_cosine_topk(spark, sf_dir)
@@ -1362,6 +1367,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost nothing)."""
     from pyspark import StorageLevel
 
+    # bounded persist lifetime: unpin the previous call's frames before
+    # pinning this call's (repeated gate/bench/test invocations must
+    # not accumulate persisted state; clear_memo_caches also drops
+    # these between bench passes)
+    while _CONTAM_PERSISTS:
+        _CONTAM_PERSISTS.pop().unpersist()
+
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     # one tokenize+gram pass, cached: `base`, `bench_g` and `hits` all
     # consume this projection — without the persist the regex chain
@@ -1378,6 +1390,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_g = (
         grams_df.filter(is_bench).select(F.explode("gs").alias("g")).distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CONTAM_PERSISTS.extend([grams_df, bench_g])
     # Guarded broadcast (see docstring): the count() is one tiny job
     # over the already-persisted gram projection.
     if bench_g.count() <= CONTAM_BCAST_MAX:
@@ -1920,14 +1933,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CONTAM_PERSISTS: list[DataFrame] = []
 
 
 def clear_memo_caches() -> None:
-    """Drop the shingle/pair memo tables (bench uses this between its
-    interleaved passes so min-of-N measures the operator, not a cache
-    hit; within one pass the reuse is intentional — corpus_filter and
-    dup_clusters share the minhash pair plan like a real pipeline
-    shares a write-once table)."""
+    """Drop the shingle/pair memo tables and the contamination check's
+    transient persists (bench uses this between its interleaved passes
+    so min-of-N measures the operator, not a cache hit; within one pass
+    the reuse is intentional — corpus_filter and dup_clusters share the
+    minhash pair plan like a real pipeline shares a write-once
+    table)."""
     for cache in (_SHINGLE_CACHE, _PAIR_CACHE):
         for df in cache.values():
             try:
@@ -1935,6 +1950,11 @@ def clear_memo_caches() -> None:
             except Exception:  # noqa: BLE001 — a dead session is fine
                 pass
         cache.clear()
+    while _CONTAM_PERSISTS:
+        try:
+            _CONTAM_PERSISTS.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead session is fine
+            pass
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:

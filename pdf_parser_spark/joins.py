@@ -154,15 +154,17 @@ def salted_join(
     while salt in taken:
         salt = "_" + salt
     # Hash only hashable column types: F.hash raises at analysis time
-    # for MapType, and VariantType is similarly unhashable. The salt
-    # only needs per-row spread, not full-row identity, so dropping
-    # unhashable columns from the hash input is semantics-free.
-    unhashable = {"map", "variant"}
-    hash_cols = [
-        f.name
-        for f in left.schema.fields
-        if f.dataType.typeName() not in unhashable
-    ]
+    # for MapType, and VariantType is similarly unhashable — including
+    # when nested inside an array or struct, so the check scans the
+    # full type tree (simpleString renders every nested type), not just
+    # the top-level typeName. The salt only needs per-row spread, not
+    # full-row identity, so dropping unhashable columns from the hash
+    # input is semantics-free.
+    def _hashable(dt) -> bool:
+        s = dt.simpleString()
+        return "map<" not in s and "variant" not in s
+
+    hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
     if not hash_cols:
         raise ValueError("salted_join: left side has no hashable columns to salt on")
     salted_l = left.withColumn(

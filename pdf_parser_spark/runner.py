@@ -162,17 +162,31 @@ def run_extraction(
             # staged one — that is a different input, not a resume —
             # and warn visibly either way so a silently-discarded fix
             # is at least diagnosable from the logs.
-            staged_schema = spark.read.parquet(staging).schema
-            # name+type only: parquet read-back flips nullability
-            want = sorted((f.name, f.dataType.simpleString()) for f in bucketed.schema.fields)
-            got = sorted((f.name, f.dataType.simpleString()) for f in staged_schema.fields)
-            if want != got:
-                raise ValueError(
-                    f"run_extraction: resuming {out_dir} but the passed "
-                    f"DataFrame's schema differs from the staged input "
-                    f"(staged {got} vs passed {want}); delete {staging} "
-                    f"to restart from the new input"
+            # An all-empty input stages only _SUCCESS (no data files) —
+            # schema inference would crash and there is nothing to
+            # drift-check against, so the check only runs when the
+            # staged copy has data.
+            has_data = any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(staging)
+                for f in files
+            )
+            if has_data:
+                staged_schema = spark.read.parquet(staging).schema
+                # name+type only: parquet read-back flips nullability
+                want = sorted(
+                    (f.name, f.dataType.simpleString()) for f in bucketed.schema.fields
                 )
+                got = sorted(
+                    (f.name, f.dataType.simpleString()) for f in staged_schema.fields
+                )
+                if want != got:
+                    raise ValueError(
+                        f"run_extraction: resuming {out_dir} but the passed "
+                        f"DataFrame's schema differs from the staged input "
+                        f"(staged {got} vs passed {want}); delete {staging} "
+                        f"to restart from the new input"
+                    )
             print(
                 f"[runner] WARNING: resuming from frozen staged input at "
                 f"{staging}; the passed DataFrame is ignored "

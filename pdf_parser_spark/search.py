@@ -162,20 +162,37 @@ def rank_search(vecs: DataFrame, docs: DataFrame, query: str, topk: int = TOPK) 
     )
 
 
+_GATE_INDEX_DIRS: dict[str, str] = {}
+
+
+def _gate_index_dir(sf_dir: str) -> str:
+    """One temp index dir per corpus per process, removed at exit."""
+    if sf_dir not in _GATE_INDEX_DIRS:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="pps_search_index_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _GATE_INDEX_DIRS[sf_dir] = d
+    return _GATE_INDEX_DIRS[sf_dir]
+
+
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry, BOTH search paths: embed the corpus on
     the fly (path='direct') AND write the persisted S6 index once then
     answer from it (path='index') — the union proves in the gate that
     the vector-store sink round-trips to the identical ranking. The
     index is written to a per-process temp dir (the gate's write
-    surface; production writes once per corpus version)."""
-    import tempfile
-
+    surface; production writes once per corpus version). Every call
+    re-exercises the write (mode=overwrite), but into ONE per-corpus
+    dir that is removed at process exit — repeated gate/bench/test
+    invocations must not accumulate corpus copies under /tmp."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     direct = rank_search(doc_vectors(docs), docs, DEFAULT_QUERY).withColumn(
         "path", F.lit("direct")
     )
-    index_dir = tempfile.mkdtemp(prefix="pps_search_index_")
+    index_dir = _gate_index_dir(sf_dir)
     write_search_index(docs, index_dir)
     via_index = search_index(spark, index_dir).withColumn("path", F.lit("index"))
     return direct.unionByName(via_index)

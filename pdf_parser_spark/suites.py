@@ -10,8 +10,14 @@ variants) — with the member oracles composed identically in DuckDB, so
 each member's values stay fully hash-checked; nothing is weakened,
 only re-keyed. SURVEY.md §2 maps operator -> gate key.
 
-Every composite reuses the member q_* functions and their SQL
-verbatim; plan-shape notes live on the members.
+Every composite's ORACLE composes the member SQL verbatim. On the
+Spark side, composites reuse the member q_* functions where that
+already yields the right plan (the union suites); ``q_text_metrics``
+and ``q_doc_fingerprints`` instead fuse the member logic into one
+single-scan projection (the 100 TB shape — see their docstrings), so
+the standalone member functions are additionally pinned to their own
+oracles by tests/test_suite_members.py to prevent silent drift between
+a member and its fused copy.
 """
 
 from __future__ import annotations

@@ -1,0 +1,71 @@
+"""Per-member oracle checks for operators that reach the driver gate
+only through a composite suite key.
+
+The gate registry is exactly 50 keys (``__spark_entry__.GATE_ORDER``),
+so same-grain members (lang_id, token_count, the window/rollup shapes,
+…) are value-hash-checked there only via their suite composite. The
+composite ORACLES compose the member SQL verbatim, but two composites
+(``text_metrics``, ``doc_fingerprints``) fuse the member logic into a
+single-scan Spark projection rather than calling the member functions —
+so a drift in a standalone member q_* (used by bench.py and direct
+callers) would NOT fail the gate. This module closes that hole: every
+member query that is not itself a gate key is checked against its own
+DuckDB oracle at sf0.001, the same comparison the gate applies.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from pdf_parser_spark.dataops import DATAOPS_ORACLES, DATAOPS_QUERIES
+from pdf_parser_spark.multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from pdf_parser_spark.queries import ORACLES, QUERIES
+from pdf_parser_spark.search import SEARCH_ORACLES, SEARCH_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+MEMBER_QUERIES = {**QUERIES, **DATAOPS_QUERIES, **SEARCH_QUERIES, **MULTIMODAL_QUERIES}
+MEMBER_ORACLES = {**ORACLES, **DATAOPS_ORACLES, **SEARCH_ORACLES, **MULTIMODAL_ORACLES}
+NON_GATE_MEMBERS = sorted(set(MEMBER_ORACLES) - set(entrymod.GATE_ORDER))
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def test_every_member_has_an_oracle():
+    assert sorted(MEMBER_QUERIES) == sorted(MEMBER_ORACLES)
+    assert NON_GATE_MEMBERS, "expected suite-composed members outside the gate"
+
+
+@pytest.mark.parametrize("name", NON_GATE_MEMBERS)
+def test_member_matches_oracle(spark, ddb, name):
+    spark_pdf = MEMBER_QUERIES[name](spark, SF_DIR).toPandas()
+    oracle_pdf = ddb.execute(MEMBER_ORACLES[name]).df()
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+    )
