@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "tpch_q10",
     "events_tumbling",
     "text_repetition",
+    "unigram_logprob",
     "pii_scrub",
     "rollup_agg",
     "tpch_q4",

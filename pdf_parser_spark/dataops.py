@@ -969,6 +969,99 @@ SQL_TOKEN_COUNT = f"""
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: score each doc by the mean unigram
+    log-probability of its tokens under the corpus's own unigram model
+    (the cheap stand-in for the KenLM perplexity filter used to rank
+    web text for pretraining). Low avg_logprob / high ppl_proxy =
+    unusual token distribution = gibberish, boilerplate, or non-text.
+
+    100 TB plan — three exchanges, none on the raw corpus:
+    1. per-(doc, tok) counts: map-side combine collapses occurrences
+       before the shuffle, so the exchange carries distinct pairs, not
+       token instances; the pair table is persisted (disk-backed,
+       bounded lifetime) because both the LM build and the scoring
+       join consume it — without that the corpus tokenizes twice;
+    2. the LM itself: groupBy(tok) over those pairs — bounded by
+       vocabulary, not corpus size; the 1-row total joins back as a
+       broadcast;
+    3. scoring: the (doc, tok) pairs join the LM on tok — NO forced
+       broadcast (a web-scale vocabulary is unbounded); AQE broadcasts
+       iff the measured LM size is small — then one groupBy(doc_id)
+       weighted mean.
+    Zero-token docs are kept via a left join from the doc spine
+    (avg_logprob 0, ppl 1 by convention). ppl_proxy rounds to 3
+    decimals: it is exp(avg), so 6-decimal rounding would sit inside
+    double-sum noise at ppl ~1e3."""
+    from pyspark import StorageLevel
+
+    # bounded persist lifetime, same discipline as q_contamination_check
+    while _TRANSIENT_PERSISTS:
+        _TRANSIENT_PERSISTS.pop().unpersist()
+
+    docs = _docs(spark, sf_dir)
+    occ = docs.withColumn("toks", _tokens_col()).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    # the pair table feeds BOTH the LM build and the scoring join;
+    # without the persist the tokenize+explode+groupBy subtree runs
+    # twice (verified: no ReusedExchange in the unpersisted plan) —
+    # tokenizing a 100 TB corpus twice is the whole cost of the op
+    dt = (
+        occ.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _TRANSIENT_PERSISTS.append(dt)
+    lm = dt.groupBy("tok").agg(F.sum("c").alias("tf"))
+    total = lm.agg(F.sum("tf").alias("total"))
+    lp = lm.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("tf") / F.col("total")).alias("lp")
+    )
+    sc = (
+        dt.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("lp")).alias("slp"),
+        )
+    )
+    avg_lp = F.col("slp") / F.col("n")
+    return docs.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(avg_lp, F.lit(0.0)), 6).alias("avg_logprob"),
+        F.round(F.coalesce(F.exp(-avg_lp), F.lit(1.0)), 3).alias("ppl_proxy"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+    WITH occ AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+        FROM documents
+    ),
+    dt AS (
+        SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY doc_id, tok
+    ),
+    lm AS (
+        SELECT tok, sum(c) AS tf FROM dt GROUP BY tok
+    ),
+    tot AS (SELECT sum(tf) AS total FROM lm),
+    lp AS (
+        SELECT tok, ln(tf / total) AS lp FROM lm, tot
+    ),
+    sc AS (
+        SELECT doc_id, sum(c) AS n, sum(c * lp) AS slp
+        FROM dt JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens,
+           round(coalesce(sc.slp / sc.n, 0.0), 6) AS avg_logprob,
+           round(coalesce(exp(-(sc.slp / sc.n)), 1.0), 3) AS ppl_proxy
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-8 sketch fingerprint: md5 each shingle, keep the 8 smallest
     hashes, fingerprint = md5 of their concatenation. Entirely array-
@@ -1371,8 +1464,8 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinning this call's (repeated gate/bench/test invocations must
     # not accumulate persisted state; clear_memo_caches also drops
     # these between bench passes)
-    while _CONTAM_PERSISTS:
-        _CONTAM_PERSISTS.pop().unpersist()
+    while _TRANSIENT_PERSISTS:
+        _TRANSIENT_PERSISTS.pop().unpersist()
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     # one tokenize+gram pass, cached: `base`, `bench_g` and `hits` all
@@ -1390,7 +1483,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_g = (
         grams_df.filter(is_bench).select(F.explode("gs").alias("g")).distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _CONTAM_PERSISTS.extend([grams_df, bench_g])
+    _TRANSIENT_PERSISTS.extend([grams_df, bench_g])
     # Guarded broadcast (see docstring): the count() is one tiny job
     # over the already-persisted gram projection.
     if bench_g.count() <= CONTAM_BCAST_MAX:
@@ -1933,7 +2026,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CONTAM_PERSISTS: list[DataFrame] = []
+_TRANSIENT_PERSISTS: list[DataFrame] = []
 
 
 def clear_memo_caches() -> None:
@@ -1950,9 +2043,9 @@ def clear_memo_caches() -> None:
             except Exception:  # noqa: BLE001 — a dead session is fine
                 pass
         cache.clear()
-    while _CONTAM_PERSISTS:
+    while _TRANSIENT_PERSISTS:
         try:
-            _CONTAM_PERSISTS.pop().unpersist()
+            _TRANSIENT_PERSISTS.pop().unpersist()
         except Exception:  # noqa: BLE001 — a dead session is fine
             pass
 
@@ -2158,6 +2251,7 @@ DATAOPS_QUERIES = {
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "unigram_logprob": q_unigram_logprob,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -2188,6 +2282,7 @@ DATAOPS_ORACLES = {
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
