@@ -367,3 +367,36 @@ def test_bm25_monotone_in_tf(spark):
         out = s.q_bm25_search(spark, td).toPandas().set_index("doc_id")
     assert "c" not in out.index
     assert out.loc["a", "bm25"] > out.loc["b", "bm25"] > 0
+
+
+def test_unigram_logprob_known_values_and_empty_docs(spark):
+    """Hand-computed unigram model: corpus 'a a b' + 'b c' -> tf(a)=2,
+    tf(b)=2, tf(c)=1, total=5. Empty/no-token docs stay on the doc
+    spine with the (0, 0.0, 1.0) convention."""
+    import math
+    import os
+    import tempfile
+
+    from pdf_parser_spark.dataops import q_unigram_logprob
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["a a b", "b c", "", "!!! ???"]}
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = (
+            q_unigram_logprob(spark, td)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+    want0 = (2 * lp["a"] + lp["b"]) / 3
+    want1 = (lp["b"] + lp["c"]) / 2
+    assert list(out["n_tokens"]) == [3, 2, 0, 0]
+    assert out["avg_logprob"].iloc[0] == pytest.approx(round(want0, 6), abs=1e-9)
+    assert out["avg_logprob"].iloc[1] == pytest.approx(round(want1, 6), abs=1e-9)
+    assert out["ppl_proxy"].iloc[0] == pytest.approx(round(math.exp(-want0), 3), abs=1e-9)
+    # zero-token docs: kept, neutral score
+    assert list(out["avg_logprob"].iloc[2:]) == [0.0, 0.0]
+    assert list(out["ppl_proxy"].iloc[2:]) == [1.0, 1.0]
