@@ -97,15 +97,19 @@ def extract_sources(tool_results: list[str]) -> list[dict[str, Any]]:
                 rec = json.loads(line)
             except ValueError:
                 continue
-            doc = rec.get("document_id") or rec.get("doc_id") or ""
+            # presence, not truth, everywhere an id can be 0: doc_id 0
+            # and page/turn 0 are real values an `or` chain would drop
+            doc = rec.get("document_id")
+            if doc is None:
+                doc = rec.get("doc_id")
             chunk = rec.get("chunk_id") or rec.get("block_id") or ""
             page = rec.get("page", rec.get("turn_idx"))
-            # a source must locate within the doc (chunk or page — and
-            # page/turn 0 is a real page, so test presence, not truth)
-            # or carry retrieval evidence (text, or a ranked
-            # similarity hit from search_chunks)
-            if doc == "" or not (
-                chunk or page is not None or "text" in rec or "rank" in rec
+            # a source must locate within the doc (chunk or page) or
+            # carry retrieval evidence (non-empty text, or a ranked
+            # similarity hit from search_chunks); empty text is not
+            # evidence
+            if doc is None or doc == "" or not (
+                chunk or page is not None or rec.get("text") or "rank" in rec
             ):
                 continue
             page = 0 if page is None else page
@@ -142,9 +146,14 @@ def build_registry(
     def _coerce_doc_id(v: Any) -> Any:
         # text-markup tool calls deliver all args as strings; the
         # embeddings doc_id column is bigint, so numeric strings must
-        # be coerced or the scoped filter fails at runtime (ANSI cast)
-        if isinstance(v, str) and v.strip().lstrip("-").isdigit():
-            return int(v.strip())
+        # be coerced or the scoped filter fails at runtime (ANSI cast).
+        # try/except, not isdigit(): isdigit accepts strings int()
+        # rejects (superscripts) and lstrip("-") over-strips "--5"
+        if isinstance(v, str):
+            try:
+                return int(v.strip())
+            except ValueError:
+                return v
         return v
 
     def _search_chunks(
@@ -159,7 +168,9 @@ def build_registry(
         )
 
     def _get_document(conv_id: str = "", document_id: Any | None = None, **kw: Any) -> str:
-        return get_document(extracted, conv_id=str(document_id or conv_id))
+        # None-test, not `or`: a scoped document_id of 0 is real
+        target = conv_id if document_id is None else document_id
+        return get_document(extracted, conv_id=str(target))
 
     def _list_documents(
         document_id: Any | None = None, limit: Any = 20, **kw: Any
@@ -173,9 +184,10 @@ def build_registry(
         limit: Any = 20,
         **kw: Any,
     ) -> str:
+        target = conv_id if document_id is None else document_id
         return search_document_text(
             extracted,
-            conv_id=str(document_id or conv_id),
+            conv_id=str(target),
             keyword=keyword,
             limit=int(limit),
         )

@@ -996,8 +996,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     # bounded persist lifetime, same discipline as q_contamination_check
-    while _TRANSIENT_PERSISTS:
-        _TRANSIENT_PERSISTS.pop().unpersist()
+    _drain_persists(_UNIGRAM_PERSISTS)
 
     docs = _docs(spark, sf_dir)
     occ = docs.withColumn("toks", _tokens_col()).select(
@@ -1012,7 +1011,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _TRANSIENT_PERSISTS.append(dt)
+    _UNIGRAM_PERSISTS.append(dt)
     lm = dt.groupBy("tok").agg(F.sum("c").alias("tf"))
     total = lm.agg(F.sum("tf").alias("total"))
     lp = lm.crossJoin(F.broadcast(total)).select(
@@ -1464,8 +1463,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinning this call's (repeated gate/bench/test invocations must
     # not accumulate persisted state; clear_memo_caches also drops
     # these between bench passes)
-    while _TRANSIENT_PERSISTS:
-        _TRANSIENT_PERSISTS.pop().unpersist()
+    _drain_persists(_CONTAM_PERSISTS)
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     # one tokenize+gram pass, cached: `base`, `bench_g` and `hits` all
@@ -1483,7 +1481,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_g = (
         grams_df.filter(is_bench).select(F.explode("gs").alias("g")).distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _TRANSIENT_PERSISTS.extend([grams_df, bench_g])
+    _CONTAM_PERSISTS.extend([grams_df, bench_g])
     # Guarded broadcast (see docstring): the count() is one tiny job
     # over the already-persisted gram projection.
     if bench_g.count() <= CONTAM_BCAST_MAX:
@@ -2026,13 +2024,28 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
-_TRANSIENT_PERSISTS: list[DataFrame] = []
+# Per-op transient-persist registries: each op drains only ITS OWN
+# previous frames at entry (draining another op's frames would defeat
+# that op's tokenize-once persist for a still-unevaluated returned
+# DataFrame); clear_memo_caches drains all of them.
+_CONTAM_PERSISTS: list[DataFrame] = []
+_UNIGRAM_PERSISTS: list[DataFrame] = []
+
+
+def _drain_persists(frames: list[DataFrame]) -> None:
+    """Unpersist and clear a transient-persist registry; tolerant of
+    frames whose owning Spark session has been stopped."""
+    while frames:
+        try:
+            frames.pop().unpersist()
+        except Exception:  # noqa: BLE001 — a dead session is fine
+            pass
 
 
 def clear_memo_caches() -> None:
-    """Drop the shingle/pair memo tables and the contamination check's
-    transient persists (bench uses this between its interleaved passes
-    so min-of-N measures the operator, not a cache hit; within one pass
+    """Drop the shingle/pair memo tables and the per-op transient
+    persists (bench uses this between its interleaved passes so
+    min-of-N measures the operator, not a cache hit; within one pass
     the reuse is intentional — corpus_filter and dup_clusters share the
     minhash pair plan like a real pipeline shares a write-once
     table)."""
@@ -2043,11 +2056,8 @@ def clear_memo_caches() -> None:
             except Exception:  # noqa: BLE001 — a dead session is fine
                 pass
         cache.clear()
-    while _TRANSIENT_PERSISTS:
-        try:
-            _TRANSIENT_PERSISTS.pop().unpersist()
-        except Exception:  # noqa: BLE001 — a dead session is fine
-            pass
+    _drain_persists(_CONTAM_PERSISTS)
+    _drain_persists(_UNIGRAM_PERSISTS)
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:

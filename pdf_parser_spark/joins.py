@@ -155,14 +155,22 @@ def salted_join(
         salt = "_" + salt
     # Hash only hashable column types: F.hash raises at analysis time
     # for MapType, and VariantType is similarly unhashable — including
-    # when nested inside an array or struct, so the check scans the
-    # full type tree (simpleString renders every nested type), not just
-    # the top-level typeName. The salt only needs per-row spread, not
-    # full-row identity, so dropping unhashable columns from the hash
-    # input is semantics-free.
+    # when nested inside an array or struct, so the check walks the
+    # full type tree. A real type walk, not a simpleString() substring
+    # match: simpleString renders FIELD NAMES too, so a struct field
+    # merely named "variant_id" must not disqualify its column. The
+    # salt only needs per-row spread, not full-row identity, so
+    # dropping unhashable columns from the hash input is semantics-free.
+    from pyspark.sql import types as T
+
     def _hashable(dt) -> bool:
-        s = dt.simpleString()
-        return "map<" not in s and "variant" not in s
+        if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
 
     hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
     if not hash_cols:
