@@ -97,19 +97,23 @@ def extract_sources(tool_results: list[str]) -> list[dict[str, Any]]:
                 rec = json.loads(line)
             except ValueError:
                 continue
-            # presence, not truth, everywhere an id can be 0: doc_id 0
-            # and page/turn 0 are real values an `or` chain would drop
+            # presence, not truth, everywhere an id can be 0: doc_id,
+            # chunk/block_id and page/turn 0 are all real values an
+            # `or` chain would drop
             doc = rec.get("document_id")
             if doc is None:
                 doc = rec.get("doc_id")
-            chunk = rec.get("chunk_id") or rec.get("block_id") or ""
+            chunk = rec.get("chunk_id")
+            if chunk is None:
+                chunk = rec.get("block_id")
+            chunk = "" if chunk is None else chunk
             page = rec.get("page", rec.get("turn_idx"))
             # a source must locate within the doc (chunk or page) or
             # carry retrieval evidence (non-empty text, or a ranked
             # similarity hit from search_chunks); empty text is not
             # evidence
             if doc is None or doc == "" or not (
-                chunk or page is not None or rec.get("text") or "rank" in rec
+                chunk != "" or page is not None or rec.get("text") or "rank" in rec
             ):
                 continue
             page = 0 if page is None else page
@@ -147,13 +151,18 @@ def build_registry(
         # text-markup tool calls deliver all args as strings; the
         # embeddings doc_id column is bigint, so numeric strings must
         # be coerced or the scoped filter fails at runtime (ANSI cast).
-        # try/except, not isdigit(): isdigit accepts strings int()
-        # rejects (superscripts) and lstrip("-") over-strips "--5"
+        # Strict ASCII-digit match, not isdigit()/bare int(): isdigit
+        # accepts strings int() rejects (superscripts), and bare int()
+        # accepts separators ("1_000" -> 1000), which would silently
+        # scope to the WRONG document instead of erroring loudly. An
+        # empty markup value (<parameter=document_id></parameter>)
+        # means "not scoped".
         if isinstance(v, str):
-            try:
-                return int(v.strip())
-            except ValueError:
-                return v
+            s = v.strip()
+            if s == "":
+                return None
+            if re.fullmatch(r"-?\d+", s, re.ASCII):
+                return int(s)
         return v
 
     def _search_chunks(
@@ -168,8 +177,10 @@ def build_registry(
         )
 
     def _get_document(conv_id: str = "", document_id: Any | None = None, **kw: Any) -> str:
-        # None-test, not `or`: a scoped document_id of 0 is real
-        target = conv_id if document_id is None else document_id
+        # explicit missing-test, not `or`: a scoped document_id of 0 is
+        # real, while None/"" (absent or empty markup value) falls back
+        # to the model-supplied conv_id
+        target = conv_id if document_id in (None, "") else document_id
         return get_document(extracted, conv_id=str(target))
 
     def _list_documents(
@@ -184,7 +195,7 @@ def build_registry(
         limit: Any = 20,
         **kw: Any,
     ) -> str:
-        target = conv_id if document_id is None else document_id
+        target = conv_id if document_id in (None, "") else document_id
         return search_document_text(
             extracted,
             conv_id=str(target),

@@ -1,18 +1,17 @@
 """Property-based tests (hypothesis) over the pure M0 kernels.
 
-The reference's own suite is example-based only (SURVEY.md §5); these
-properties pin the invariants the Spark stages rely on — reading-order
-sort is a permutation, chunking never exceeds its budget or loses
-non-whitespace content, bbox algebra is well-behaved, normalization is
-idempotent, and the end-to-end turn kernel never raises on arbitrary
-payloads (malformed input must become a fallback turn, not an
-exception) with span offsets that exactly tile the extracted text.
-No Spark session needed — these run on the kernel layer directly.
+Complements tests/test_kernels_fuzz.py (which fuzzes extract_turn's
+totality and span invariants end-to-end): these properties pin the
+per-kernel invariants the Spark stages rely on — reading-order sort is
+a non-mutating permutation, chunking never exceeds its budget or loses
+non-whitespace content, bbox algebra is well-behaved, and text
+normalization is idempotent. No Spark session needed — these run on
+the kernel layer directly.
 """
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import given
 from hypothesis import strategies as st
 
 from pdf_parser_spark.kernels.bbox import (
@@ -24,7 +23,6 @@ from pdf_parser_spark.kernels.bbox import (
     sort_blocks_by_position,
 )
 from pdf_parser_spark.kernels.chunker import split_text_chunks
-from pdf_parser_spark.kernels.extract import extract_turn
 from pdf_parser_spark.kernels.textnorm import normalize_text
 
 coord = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
@@ -82,21 +80,3 @@ def test_split_text_chunks_budget_and_no_content_loss(text, max_chars):
 def test_normalize_text_idempotent(text):
     once = normalize_text(text)
     assert normalize_text(once) == once
-
-
-@given(st.text(max_size=3000), st.integers(min_value=0, max_value=500),
-       st.sampled_from([None, "", "search", "browser"]))
-@settings(max_examples=60, deadline=None)
-def test_extract_turn_total_on_arbitrary_payloads(text, turn_idx, tool):
-    """Malformed payloads (bad JSON, unclosed markup, control bytes)
-    must become fallback turns, never exceptions; spans must index
-    extracted_text exactly."""
-    out = extract_turn(text, turn_idx, tool)
-    assert out["source"] in ("digital", "ocr")
-    et = out["extracted_text"]
-    for span in out["spans"]:
-        s, e = span["start"], span["end"]
-        assert 0 <= s <= e <= len(et)
-    # spans tile the text in order, separated by the block separator
-    starts = [sp["start"] for sp in out["spans"]]
-    assert starts == sorted(starts)
