@@ -267,3 +267,49 @@ def test_end_to_end_with_spark_tools(spark):
     assert conv in res.answer
     fed = llm.calls[1]["messages"][-1]["content"]
     assert fed.startswith("[Tool result: find]")
+
+
+def test_extract_sources_presence_semantics():
+    """Zero-valued ids are real: doc_id 0, chunk/block_id 0, page 0 all
+    survive; empty text alone is not evidence; ranked hits count."""
+    lines = [
+        json.dumps({"rank": 1, "doc_id": 0, "similarity": 0.9}),
+        json.dumps({"doc_id": 7, "block_id": 0, "page": 1}),
+        json.dumps({"doc_id": 7, "page": 1}),          # distinct from block 0
+        json.dumps({"document_id": "d", "page": 0, "text": "x"}),
+        json.dumps({"document_id": "d1", "text": ""}),  # dropped: no evidence
+    ]
+    srcs = extract_sources(["\n".join(lines)])
+    keys = [(s["document_id"], s["chunk_id"], s["page"]) for s in srcs]
+    assert (0, "", 0) in keys          # ranked hit for doc 0
+    assert (7, 0, 1) in keys           # block 0 kept...
+    assert (7, "", 1) in keys          # ...and distinct from block-missing
+    assert ("d", "", 0) in keys        # page 0 kept
+    assert all(s["document_id"] != "d1" for s in srcs)
+
+
+def test_registry_doc_id_coercion_and_empty_scoping(spark):
+    """Markup-string document ids: strict ASCII integers coerce, '1_000'
+    style separators pass through (loud error beats silently scoping to
+    the wrong document), '' means unscoped and falls back to conv_id."""
+    from pdf_parser_spark.agent import build_registry
+    from pdf_parser_spark.pipeline import extract_turns, synth_transcripts_df
+    from pdf_parser_spark.search import doc_vectors
+
+    extracted = extract_turns(
+        synth_transcripts_df(spark, n_convs=2, seed=7), salt_buckets=4
+    ).cache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reg = build_registry(extracted, doc_vectors(docs), docs)
+    conv = extracted.select("conv_id").first()["conv_id"]
+    # numeric string scopes the bigint doc_id filter without a cast error
+    hit = reg.execute("search_chunks", {"document_id": "3", "n_results": "2"}, 10_000)
+    assert "Error" not in hit
+    # separator string is NOT silently coerced: the tool errors loudly
+    err = reg.execute("search_chunks", {"document_id": "1_000"}, 10_000)
+    assert err.startswith("Error") or "No results" in err
+    # empty markup value = unscoped: conv_id fallback still answers
+    meta = reg.execute(
+        "get_document", {"conv_id": conv, "document_id": ""}, 10_000
+    )
+    assert json.loads(meta)["document_id"] == conv
