@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_type_stats",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
+    "winnow_near_dup",
     "token_count",
     "corpus_filter",
     "embedding_kmeans",

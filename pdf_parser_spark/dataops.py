@@ -1185,12 +1185,17 @@ WINNOW_M = 2**31 - 1
 _WINNOW_P = [pow(WINNOW_B, WINNOW_GRAM - 1 - j, WINNOW_M) for j in range(WINNOW_GRAM)]
 
 
-def winnow_frame(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+def winnow_frame(
+    df: DataFrame, carry: tuple[str, ...] = (), keep_selected: bool = False
+) -> DataFrame:
     """Append winnowing-fingerprint columns (``n_grams``, ``n_selected``,
     ``fingerprint``) to a frame holding ``doc_id`` and ``t`` (the
     lowercased text); ``carry`` columns pass through the staged narrow
     projections untouched. Factored out so the doc_fingerprints suite
-    can compute both fingerprint families in ONE scan (suites.py)."""
+    can compute both fingerprint families in ONE scan (suites.py).
+    ``keep_selected`` additionally emits the sorted distinct selected
+    hash array ``sel`` (the MOSS candidate-pair join key set,
+    q_winnow_near_dup)."""
     # CAST to BIGINT first: int32 * int32 overflows under ANSI mode
     terms = " + ".join(
         f"CAST(ascii(substring(t, i + {j}, 1)) AS BIGINT) * {_WINNOW_P[j]}"
@@ -1223,6 +1228,7 @@ def winnow_frame(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
             "n_grams",
             "CAST(size(sel) AS BIGINT) AS n_selected",
             "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
+            *(["sel"] if keep_selected else []),
         )
     )
 
@@ -1271,6 +1277,154 @@ def _sql_doc_winnow_fingerprint() -> str:
            CAST(len(sel) AS BIGINT) AS n_selected,
            md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ',')) AS fingerprint
     FROM sel
+"""
+
+
+WINNOW_MAX_DF = 100  # selected hash in > this many docs = corpus boilerplate
+WINNOW_OVERLAP_MIN = 0.7  # overlap coefficient threshold for a near-dup pair
+
+_WINNOW_POST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_selected, w) winnow posting list with hot hashes
+    dropped — the MOSS index table. Same build discipline as
+    _doc_shingles: repartition before the heavy projection,
+    localCheckpoint the selected-hash ARRAY before exploding it
+    (Generate over the collapsed winnow expression tree re-evaluates
+    the whole rolling-hash pipeline per row — the unstaged version
+    hung even at the smallest sf), persist the posting for its 3
+    consumers (df census, both self-join sides), memoize per
+    (app, sf_dir). At cluster scale this is a write-once fingerprint
+    index table shared by every plagiarism/containment query."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINNOW_POST_CACHE.get(key)
+    if cached is not None:
+        return cached
+    par = spark.sparkContext.defaultParallelism
+    sel = (
+        winnow_frame(
+            _docs(spark, sf_dir)
+            .repartition(par)
+            .selectExpr("doc_id", "lower(text) AS t"),
+            keep_selected=True,
+        )
+        .select("doc_id", "n_selected", "sel")
+        .localCheckpoint()
+    )
+    post = sel.select(
+        "doc_id", "n_selected", F.explode("sel").alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        post.groupBy("w").agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > WINNOW_MAX_DF)
+        .select("w")
+    )
+    # no broadcast hint: the hot list is boilerplate-sized in practice
+    # but unbounded in principle; AQE broadcasts iff measured-small
+    kept = post.join(hot, "w", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()  # materialize once, up front
+    post.unpersist()
+    _WINNOW_POST_CACHE[key] = kept
+    return kept
+
+
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidate pairs over the winnowing
+    fingerprint index: two docs are near-dups when the overlap
+    coefficient of their selected-hash sets (|∩| / min(|A|, |B|)) is
+    ≥ WINNOW_OVERLAP_MIN. Complements the minhash path: winnowing's
+    guarantee (any shared ≥11-char substring contributes a shared
+    selected hash) makes this the *substring*-sensitive dedup, catching
+    containment (a doc embedded in a longer one) that Jaccard on word
+    shingles dilutes. Measured on the synthetic corpus the coefficient
+    is cleanly bimodal (true near-dups ≥ 0.89, background ≤ 0.5), so
+    0.7 separates with margin.
+
+    100 TB plan — the classic inverted-index self-join:
+    - posting list (doc, hash) from the zero-shuffle winnow projection;
+    - hot hashes (df > WINNOW_MAX_DF) dropped BEFORE the join — the
+      same quadratic-fanout lever as MAX_DF on shingles; anti-join, no
+      broadcast hint (the hot list is unbounded, AQE decides);
+    - self-equi-join on the hash, so each hash contributes at most
+      df ≤ cap pairs per posting row — never all-pairs;
+    - shared counts are exact (selected sets are distinct), overlap is
+      integer division at the end."""
+    kept = _winnow_postings(spark, sf_dir)
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_selected").alias("na"),
+            F.col("b.n_selected").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ov = F.col("shared") / F.least("na", "nb")
+    return (
+        pairs.filter(ov >= WINNOW_OVERLAP_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared_hashes"),
+            F.round(ov, 6).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_winnow_near_dup() -> str:
+    terms = " + ".join(
+        f"CAST(ascii(t[i + {j}]) AS BIGINT) * {_WINNOW_P[j]}"
+        for j in range(WINNOW_GRAM)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(t) - {WINNOW_GRAM - 1}, 0) + 1),
+                              i -> ({terms}) % {WINNOW_M}) AS h
+        FROM base
+    ),
+    ws AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= {WINNOW_WINDOW} THEN
+                    list_transform(range(1, len(h) - {WINNOW_WINDOW - 1} + 1),
+                                   w -> list_min(h[w:w + {WINNOW_WINDOW - 1}]))
+                    ELSE [] END AS wins
+        FROM hs
+    ),
+    sel AS (
+        SELECT doc_id, list_sort(list_distinct(wins)) AS sel FROM ws
+    ),
+    post AS (
+        SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS w FROM sel
+    ),
+    hot AS (
+        SELECT w FROM (SELECT w, count(*) AS dfc FROM post GROUP BY w)
+        WHERE dfc > {WINNOW_MAX_DF}
+    ),
+    kept AS (
+        SELECT * FROM post WHERE w NOT IN (SELECT w FROM hot)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sel AS na, b.n_sel AS nb, count(*) AS shared
+        FROM kept a JOIN kept b USING (w)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared_hashes,
+           round(shared * 1.0 / least(na, nb), 6) AS overlap
+    FROM pairs
+    WHERE shared * 1.0 / least(na, nb) >= {WINNOW_OVERLAP_MIN}
+    ORDER BY doc_a, doc_b
 """
 
 
@@ -2049,7 +2203,7 @@ def clear_memo_caches() -> None:
     the reuse is intentional — corpus_filter and dup_clusters share the
     minhash pair plan like a real pipeline shares a write-once
     table)."""
-    for cache in (_SHINGLE_CACHE, _PAIR_CACHE):
+    for cache in (_SHINGLE_CACHE, _PAIR_CACHE, _WINNOW_POST_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
@@ -2264,6 +2418,7 @@ DATAOPS_QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+    "winnow_near_dup": q_winnow_near_dup,
     "kmv_distinct_users": q_kmv_distinct_users,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
@@ -2295,6 +2450,7 @@ DATAOPS_ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
+    "winnow_near_dup": _sql_winnow_near_dup(),
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
