@@ -1248,13 +1248,16 @@ def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_grams", "n_selected", "fingerprint")
 
 
-def _sql_doc_winnow_fingerprint() -> str:
+def _sql_winnow_cte() -> str:
+    """Shared DuckDB CTE chain deriving the per-doc winnow selected-hash
+    set (``sel``, plus ``n_grams``) — consumed by both winnow oracles so
+    a scheme change (gram size, window, hash base, short-doc guard) is
+    edited in exactly one place."""
     terms = " + ".join(
         f"CAST(ascii(t[i + {j}]) AS BIGINT) * {_WINNOW_P[j]}"
         for j in range(WINNOW_GRAM)
     )
-    return f"""
-    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+    return f"""base AS (SELECT doc_id, lower(text) AS t FROM documents),
     hs AS (
         SELECT doc_id,
                list_transform(range(1, greatest(length(t) - {WINNOW_GRAM - 1}, 0) + 1),
@@ -1271,7 +1274,12 @@ def _sql_doc_winnow_fingerprint() -> str:
     ),
     sel AS (
         SELECT doc_id, n_grams, list_sort(list_distinct(wins)) AS sel FROM ws
-    )
+    )"""
+
+
+def _sql_doc_winnow_fingerprint() -> str:
+    return f"""
+    WITH {_sql_winnow_cte()}
     SELECT doc_id,
            CAST(n_grams AS BIGINT) AS n_grams,
            CAST(len(sel) AS BIGINT) AS n_selected,
@@ -1287,16 +1295,20 @@ _WINNOW_POST_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_selected, w) winnow posting list with hot hashes
-    dropped — the MOSS index table. Same build discipline as
-    _doc_shingles: repartition before the heavy projection,
-    localCheckpoint the selected-hash ARRAY before exploding it
-    (Generate over the collapsed winnow expression tree re-evaluates
-    the whole rolling-hash pipeline per row — the unstaged version
-    hung even at the smallest sf), persist the posting for its 3
-    consumers (df census, both self-join sides), memoize per
-    (app, sf_dir). At cluster scale this is a write-once fingerprint
-    index table shared by every plagiarism/containment query."""
+    """(doc_id, n_kept, w) winnow posting list with hot hashes
+    dropped — the MOSS index table. ``n_kept`` counts the doc's
+    POST-FILTER hashes, so the overlap coefficient scores over the
+    same filtered sets its numerator intersects (MOSS semantics —
+    using the pre-filter set size would under-score boilerplate-heavy
+    duplicates). Same build discipline as _doc_shingles: repartition
+    before the heavy projection, localCheckpoint the selected-hash
+    ARRAY before exploding it (Generate over the collapsed winnow
+    expression tree re-evaluates the whole rolling-hash pipeline per
+    row — the unstaged version hung even at the smallest sf), persist
+    the posting for its consumers (df census, per-doc counts, both
+    self-join sides), memoize per (app, sf_dir). At cluster scale this
+    is a write-once fingerprint index table shared by every
+    plagiarism/containment query."""
     from pyspark import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1311,12 +1323,12 @@ def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("doc_id", "lower(text) AS t"),
             keep_selected=True,
         )
-        .select("doc_id", "n_selected", "sel")
+        .select("doc_id", "sel")
         .localCheckpoint()
     )
-    post = sel.select(
-        "doc_id", "n_selected", F.explode("sel").alias("w")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    post = sel.select("doc_id", F.explode("sel").alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hot = (
         post.groupBy("w").agg(F.count("*").alias("dfc"))
         .filter(F.col("dfc") > WINNOW_MAX_DF)
@@ -1324,7 +1336,9 @@ def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no broadcast hint: the hot list is boilerplate-sized in practice
     # but unbounded in principle; AQE broadcasts iff measured-small
-    kept = post.join(hot, "w", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    kept0 = post.join(hot, "w", "left_anti")
+    nk = kept0.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    kept = kept0.join(nk, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     kept.count()  # materialize once, up front
     post.unpersist()
     _WINNOW_POST_CACHE[key] = kept
@@ -1334,7 +1348,9 @@ def _winnow_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup candidate pairs over the winnowing
     fingerprint index: two docs are near-dups when the overlap
-    coefficient of their selected-hash sets (|∩| / min(|A|, |B|)) is
+    coefficient of their POST-FILTER hash sets (|∩| / min(|A|, |B|)
+    with boilerplate hot hashes removed from both numerator AND
+    denominator — MOSS scores over the filtered fingerprints) is
     ≥ WINNOW_OVERLAP_MIN. Complements the minhash path: winnowing's
     guarantee (any shared ≥11-char substring contributes a shared
     selected hash) makes this the *substring*-sensitive dedup, catching
@@ -1360,8 +1376,8 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_selected").alias("na"),
-            F.col("b.n_selected").alias("nb"),
+            F.col("a.n_kept").alias("na"),
+            F.col("b.n_kept").alias("nb"),
         )
         .agg(F.count("*").alias("shared"))
     )
@@ -1379,31 +1395,10 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_winnow_near_dup() -> str:
-    terms = " + ".join(
-        f"CAST(ascii(t[i + {j}]) AS BIGINT) * {_WINNOW_P[j]}"
-        for j in range(WINNOW_GRAM)
-    )
     return f"""
-    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
-    hs AS (
-        SELECT doc_id,
-               list_transform(range(1, greatest(length(t) - {WINNOW_GRAM - 1}, 0) + 1),
-                              i -> ({terms}) % {WINNOW_M}) AS h
-        FROM base
-    ),
-    ws AS (
-        SELECT doc_id,
-               CASE WHEN len(h) >= {WINNOW_WINDOW} THEN
-                    list_transform(range(1, len(h) - {WINNOW_WINDOW - 1} + 1),
-                                   w -> list_min(h[w:w + {WINNOW_WINDOW - 1}]))
-                    ELSE [] END AS wins
-        FROM hs
-    ),
-    sel AS (
-        SELECT doc_id, list_sort(list_distinct(wins)) AS sel FROM ws
-    ),
+    WITH {_sql_winnow_cte()},
     post AS (
-        SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS w FROM sel
+        SELECT doc_id, unnest(sel) AS w FROM sel
     ),
     hot AS (
         SELECT w FROM (SELECT w, count(*) AS dfc FROM post GROUP BY w)
@@ -1412,10 +1407,16 @@ def _sql_winnow_near_dup() -> str:
     kept AS (
         SELECT * FROM post WHERE w NOT IN (SELECT w FROM hot)
     ),
+    nk AS (
+        SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id
+    ),
+    keptn AS (
+        SELECT k.doc_id, n_kept, w FROM kept k JOIN nk USING (doc_id)
+    ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.n_sel AS na, b.n_sel AS nb, count(*) AS shared
-        FROM kept a JOIN kept b USING (w)
+               a.n_kept AS na, b.n_kept AS nb, count(*) AS shared
+        FROM keptn a JOIN keptn b USING (w)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     )

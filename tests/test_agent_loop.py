@@ -302,13 +302,20 @@ def test_registry_doc_id_coercion_and_empty_scoping(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     reg = build_registry(extracted, doc_vectors(docs), docs)
     conv = extracted.select("conv_id").first()["conv_id"]
-    # numeric string scopes the bigint doc_id filter without a cast error
+    # numeric string scopes the bigint doc_id filter TO that document
     hit = reg.execute("search_chunks", {"document_id": "3", "n_results": "2"}, 10_000)
     assert "Error" not in hit
-    # separator string is NOT silently coerced: the tool errors loudly
+    assert all(json.loads(l)["doc_id"] == 3 for l in hit.splitlines() if l.startswith("{"))
+    # separator string is NOT silently coerced to 1000 (int('1_000')
+    # would scope to the WRONG document); the tool errors loudly instead
     err = reg.execute("search_chunks", {"document_id": "1_000"}, 10_000)
     assert err.startswith("Error") or "No results" in err
-    # empty markup value = unscoped: conv_id fallback still answers
+    # empty markup value = unscoped: the DISCRIMINATING case — without
+    # the ''->None coercion this is an ANSI cast error, with it an
+    # unscoped search that succeeds
+    unscoped = reg.execute("search_chunks", {"document_id": ""}, 10_000)
+    assert "Error" not in unscoped and unscoped.strip().startswith("{")
+    # empty markup value falls back to conv_id in the per-document tools
     meta = reg.execute(
         "get_document", {"conv_id": conv, "document_id": ""}, 10_000
     )
