@@ -404,9 +404,9 @@ GATE_ORDER: list[str] = [
     "r6_keyword_search",
     "r9_enrichment_join",
     "r10_totals_aggregate",
-    # search (semantic incl. persisted-index path, BM25)
+    # search (semantic incl. persisted-index path, BM25 + exact phrase)
     "semantic_search",
-    "bm25_search",
+    "keyword_rank_suite",
     # dedup family
     "minhash_near_dup",
     "dup_clusters",
@@ -437,8 +437,8 @@ GATE_ORDER: list[str] = [
     "events_type_stats",
     "window_suite",
     "set_ops",
-    "anti_semi_join",
-    "latest_per_key",
+    "semi_join_suite",
+    "scd2_suite",
     "salted_join",
     # TPC-H shapes
     "tpch_q1",

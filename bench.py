@@ -87,7 +87,9 @@ BENCH_QUERIES = [
     "json_props_stats",
     "window_trailing",
     "anti_semi_join",
+    "bloom_semi_join",
     "latest_per_key",
+    "scd2_intervals",
     "tpch_q10",
     "events_tumbling",
     "text_repetition",
@@ -101,6 +103,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "ngram_topk",
     "bm25_search",
+    "phrase_search",
     "tpch_q12",
     "tpch_q19",
     "sequence_pack",

@@ -679,6 +679,81 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "user_events", "user_value")
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter semi-join surface (joins.bloom_semi_join): the
+    anti_semi_join per-nation buyer counts, computed through the
+    runtime-filter path — customers are screened against a broadcast
+    8192-bit Bloom set built from the distinct buyer keys BEFORE the
+    exact semi-join, so at scale most non-buying customers never reach
+    the exchange. Result is provably identical to the plain semi-join
+    (false positives die in the exact stage, false negatives are
+    impossible), so the oracle IS the plain semi-join — same contract
+    as salted_join. n_without_orders comes from the per-nation totals
+    minus the matched counts: one extra single-column aggregate instead
+    of a second (anti) pass over the customer table."""
+    from .joins import bloom_semi_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    buyers = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    nation = _t(spark, sf_dir, "nation")
+    matched = bloom_semi_join(cust, buyers, "c_custkey", "o_custkey")
+    with_o = matched.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    totals = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_total"))
+    per_nation = totals.join(with_o, "c_nationkey", "left_outer")
+    return (
+        per_nation.join(
+            F.broadcast(nation), per_nation["c_nationkey"] == nation["n_nationkey"]
+        )
+        .select(
+            "n_name",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            (F.col("n_total") - F.coalesce("n_with_orders", F.lit(0))).alias(
+                "n_without_orders"
+            ),
+        )
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) reconstruction: compress
+    each user's event stream into versioned validity intervals of its
+    ``event_type`` state — one row per state CHANGE carrying
+    ``(version, valid_from, valid_to)``, with the open current interval
+    ending at NULL ('' after the string projection). This is the
+    dimension-versioning primitive an Iceberg-snapshot consumer needs
+    to reconstruct "the table as of T" (filter
+    ``valid_from <= T < valid_to``); ``latest_per_key`` is its
+    degenerate current-slice, which is why both share the scd2_suite
+    gate key.
+
+    Plan: ONE shuffle on user_id serves all three windows (lag for
+    change detection, row_number for versions, lead for interval ends —
+    identical partitioning+ordering, so Catalyst plans a single sort).
+    Per-user history sorts locally; no global sort, no driver state.
+    Ordering ties on ts break by event_id, so versions are
+    deterministic."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wc).alias("version"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(wc), "yyyy-MM-dd HH:mm:ss"),
+            F.lit(""),
+        ).alias("valid_to"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "r1_dedup_hash": """
         SELECT md5(text) AS content_hash,
@@ -985,7 +1060,29 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY user_id
         ) p USING (user_id)
     """,
+    "scd2_intervals": """
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS INTEGER) AS version,
+               event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               coalesce(strftime(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), '%Y-%m-%d %H:%M:%S'), '') AS valid_to
+        FROM (
+            SELECT *, lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ) WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
 }
+
+# The Bloom-prefiltered semi-join's contract is exact equality with the
+# plain semi-join (see q_bloom_semi_join) — the oracle is VERBATIM the
+# anti_semi_join oracle.
+ORACLES["bloom_semi_join"] = ORACLES["anti_semi_join"]
 
 QUERIES = {
     "r1_dedup_hash": q_dedup_hash,
@@ -1020,4 +1117,6 @@ QUERIES = {
     "tpch_q12": q_tpch_q12,
     "tpch_q19": q_tpch_q19,
     "salted_join": q_salted_join,
+    "bloom_semi_join": q_bloom_semi_join,
+    "scd2_intervals": q_scd2_intervals,
 }

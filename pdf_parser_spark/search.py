@@ -383,9 +383,85 @@ def _sql_bm25_search() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-phrase search over a POSITIONAL inverted index (the classic
+# search-engine primitive BM25 cannot express: term ADJACENCY). The
+# reference's lexical surface is substring match (services/search/
+# service.py:43-65), which IS a phrase query — this is its
+# index-backed, scale-correct form.
+#
+# Scale shape: the positional posting table (doc_id, pos, tok) is
+# filtered to the phrase's terms BEFORE any shuffle (|terms| * df rows
+# survive, not the corpus), then adjacency is ONE equi-join per extra
+# term on (doc_id, pos) — pos is shifted on the left side so the join
+# needs no range predicate. At 100 TB the posting table is the same
+# write-once inverted index BM25 scores from, with a position column.
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ["sort", "merge"]
+
+
+def phrase_hits(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Exact-phrase matches of ``terms`` (in order, adjacent) over a
+    (doc_id, text) DataFrame via a positional posting index; returns
+    (doc_id, n_hits, first_pos), first_pos 0-based token offset.
+    Overlapping occurrences each count (same as the sliding-window
+    oracle). See module comment for the 100 TB shape."""
+    pos = (
+        docs.withColumn(
+            "toks",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        )
+        .select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    hits = pos.filter(F.col("tok") == terms[0]).select("doc_id", "pos")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = (
+            pos.filter(F.col("tok") == term)
+            .select("doc_id", (F.col("pos") - i).alias("pos"))
+        )
+        hits = hits.join(nxt, ["doc_id", "pos"], "left_semi")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase ``sort merge``; returns
+    (doc_id, n_hits, first_pos)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_hits(docs, PHRASE_TERMS)
+
+
+def _sql_phrase_search() -> str:
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(PHRASE_TERMS)
+    )
+    span = len(PHRASE_TERMS) - 1
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               list_filter(range(1, greatest(len(toks) - {span}, 0) + 1),
+                           i -> {conds}) AS starts
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(len(starts) AS BIGINT) AS n_hits,
+           CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+    FROM m WHERE len(starts) > 0
+"""
+
+
 SEARCH_QUERIES = {
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
+    "phrase_search": q_phrase_search,
 }
 SEARCH_ORACLES = {
     # both engine paths (direct embed vs persisted index) must produce
@@ -396,4 +472,5 @@ SEARCH_ORACLES = {
     CROSS JOIN (VALUES ('direct'), ('index')) p(path)
 """,
     "bm25_search": _sql_bm25_search(),
+    "phrase_search": _sql_phrase_search(),
 }

@@ -59,9 +59,18 @@ from .multimodal import (
     q_multimodal_frames,
     q_multimodal_meta,
 )
+from .search import (
+    SEARCH_ORACLES,
+    q_bm25_search,
+    q_phrase_search,
+)
 from .queries import (
     ORACLES,
+    q_anti_semi_join,
+    q_bloom_semi_join,
     q_events_rollup,
+    q_latest_per_key,
+    q_scd2_intervals,
     q_events_tumbling,
     q_rollup_agg,
     q_sessionize_events,
@@ -543,6 +552,115 @@ SQL_MULTIMODAL_SUITE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# semi_join_suite: the plain semi/anti join and its Bloom-prefiltered
+# physical variant share the (n_name, n_with, n_without) grain; the
+# Bloom path's contract is exact result equality with the plain one
+# (joins.bloom_semi_join docstring), so both tags check against the
+# SAME oracle subquery.
+# ---------------------------------------------------------------------------
+
+
+def q_semi_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join strategy surface: per-nation buyer counts via the
+    plain LEFT SEMI / LEFT ANTI pair (part='plain') and via the
+    Bloom-runtime-filter prefilter path (part='bloom'). Equal values by
+    construction — the suite existing proves the Bloom plan is a pure
+    physical rewrite."""
+    plain = q_anti_semi_join(spark, sf_dir).select(
+        F.lit("plain").alias("part"), "n_name", "n_with_orders", "n_without_orders"
+    )
+    bloom = q_bloom_semi_join(spark, sf_dir).select(
+        F.lit("bloom").alias("part"), "n_name", "n_with_orders", "n_without_orders"
+    )
+    return plain.unionByName(bloom)
+
+
+SQL_SEMI_JOIN_SUITE = f"""
+    SELECT 'plain' AS part, n_name, n_with_orders, n_without_orders
+    FROM ({ORACLES["anti_semi_join"]})
+    UNION ALL
+    SELECT 'bloom', n_name, n_with_orders, n_without_orders
+    FROM ({ORACLES["bloom_semi_join"]})
+"""
+
+
+# ---------------------------------------------------------------------------
+# scd2_suite: latest-per-key is the degenerate "current slice" of the
+# SCD2 validity-interval reconstruction -> one dimension-versioning key.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-versioning surface: full SCD2 validity intervals per
+    user (part='scd2', k=version, open current interval has ts_b='')
+    and the latest-event current slice (part='latest', k=event_id).
+    Both shuffle once on user_id; see member docstrings."""
+    scd2 = q_scd2_intervals(spark, sf_dir).select(
+        F.lit("scd2").alias("part"),
+        "user_id",
+        F.col("version").cast("long").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("valid_from").alias("ts_a"),
+        F.col("valid_to").alias("ts_b"),
+    )
+    latest = q_latest_per_key(spark, sf_dir).select(
+        F.lit("latest").alias("part"),
+        "user_id",
+        F.col("last_event_id").cast("long").alias("k"),
+        F.col("last_event_type").alias("etype"),
+        F.col("last_ts").alias("ts_a"),
+        F.lit("").alias("ts_b"),
+    )
+    return scd2.unionByName(latest)
+
+
+SQL_SCD2_SUITE = f"""
+    SELECT 'scd2' AS part, user_id, CAST(version AS BIGINT) AS k,
+           event_type AS etype, valid_from AS ts_a, valid_to AS ts_b
+    FROM ({ORACLES["scd2_intervals"]})
+    UNION ALL
+    SELECT 'latest', user_id, CAST(last_event_id AS BIGINT),
+           last_event_type, last_ts, ''
+    FROM ({ORACLES["latest_per_key"]})
+"""
+
+
+# ---------------------------------------------------------------------------
+# keyword_rank_suite: the two lexical index surfaces — BM25 relevance
+# ranking and exact-phrase adjacency — score from the same write-once
+# inverted index (the phrase path adds a position column).
+# ---------------------------------------------------------------------------
+
+
+def q_keyword_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical search surface: BM25 top-k of the fixed term query
+    (part='bm25', score=bm25, aux=0) and exact-phrase hits with first
+    occurrence offset (part='phrase', score=n_hits, aux=first_pos)."""
+    bm25 = q_bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        F.col("bm25").alias("score"),
+        F.lit(0).cast("long").alias("aux"),
+    )
+    phrase = q_phrase_search(spark, sf_dir).select(
+        F.lit("phrase").alias("part"),
+        "doc_id",
+        F.col("n_hits").cast("double").alias("score"),
+        F.col("first_pos").alias("aux"),
+    )
+    return bm25.unionByName(phrase)
+
+
+SQL_KEYWORD_RANK_SUITE = f"""
+    SELECT 'bm25' AS part, doc_id, bm25 AS score, CAST(0 AS BIGINT) AS aux
+    FROM ({SEARCH_ORACLES["bm25_search"]})
+    UNION ALL
+    SELECT 'phrase', doc_id, CAST(n_hits AS DOUBLE), first_pos
+    FROM ({SEARCH_ORACLES["phrase_search"]})
+"""
+
+
 # events_pivot stays a standalone key (unique per-user wide-count grain)
 SQL_EVENTS_PIVOT_SUITE = SQL_EVENTS_PIVOT  # re-export for registry symmetry
 
@@ -557,6 +675,9 @@ SUITE_QUERIES = {
     "tpch_scalars": q_tpch_scalars,
     "tpch_q4q12": q_tpch_q4q12,
     "multimodal_suite": q_multimodal_suite,
+    "semi_join_suite": q_semi_join_suite,
+    "scd2_suite": q_scd2_suite,
+    "keyword_rank_suite": q_keyword_rank_suite,
 }
 
 SUITE_ORACLES = {
@@ -569,4 +690,7 @@ SUITE_ORACLES = {
     "tpch_scalars": SQL_TPCH_SCALARS,
     "tpch_q4q12": SQL_TPCH_Q4Q12,
     "multimodal_suite": SQL_MULTIMODAL_SUITE,
+    "semi_join_suite": SQL_SEMI_JOIN_SUITE,
+    "scd2_suite": SQL_SCD2_SUITE,
+    "keyword_rank_suite": SQL_KEYWORD_RANK_SUITE,
 }

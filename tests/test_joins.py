@@ -88,3 +88,66 @@ def test_bucketed_range_join_boundaries(spark):
     # end-exclusive: a point exactly at end_ts must not match
     edge = spark.createDataFrame([("a", _ts(40), 9)], SCHEMA).withColumnRenamed("val", "pid")
     assert bucketed_range_join(edge, intervals, on="k", bucket_seconds=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join: exactness under heavy false positives, saturation
+# no-op, and the no-false-negative guarantee.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_sides(spark):
+    left = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(200)], "k LONG, payload STRING"
+    )
+    right = spark.createDataFrame(
+        [(i * 7,) for i in range(20)], "rk LONG"  # keys 0,7,...,133
+    )
+    return left, right
+
+
+def _bloom_vs_exact(left, right, **kw):
+    from pdf_parser_spark.joins import bloom_semi_join
+
+    exact = left.join(right, left["k"] == right["rk"], "left_semi")
+    bloom = bloom_semi_join(left, right, "k", "rk", **kw)
+    extra = bloom.exceptAll(exact).count()
+    missing = exact.exceptAll(bloom).count()
+    return exact.count(), bloom.count(), extra, missing
+
+
+def test_bloom_semi_join_matches_exact(bloom_sides):
+    n_exact, n_bloom, extra, missing = _bloom_vs_exact(*bloom_sides)
+    assert n_exact == 20
+    assert (n_bloom, extra, missing) == (20, 0, 0)
+
+
+def test_bloom_semi_join_exact_even_when_saturated(bloom_sides):
+    # 16 bits for 20 keys: nearly every probe collides; the exact stage
+    # must still strip all false positives (and FNs are impossible).
+    n_exact, n_bloom, extra, missing = _bloom_vs_exact(
+        *bloom_sides, n_bits=16, n_hashes=2
+    )
+    assert (n_bloom, extra, missing) == (n_exact, 0, 0)
+
+
+def test_bloom_prefilter_actually_prunes(bloom_sides):
+    # With a well-sized bitmap the prefilter alone (before the exact
+    # stage) keeps all 20 true matches (no false negatives) and rejects
+    # most of the 180 non-matching left keys (few false positives).
+    from pdf_parser_spark.joins import bloom_prefilter
+
+    left, right = bloom_sides
+    cand = bloom_prefilter(left, right, "k", "rk", n_bits=1 << 13)
+    n_cand = cand.count()
+    assert 20 <= n_cand <= 20 + 18  # <=10% of the 180 non-matches leak
+
+
+def test_bloom_prefilter_no_false_negatives_when_saturated(bloom_sides):
+    from pdf_parser_spark.joins import bloom_prefilter
+
+    left, right = bloom_sides
+    exact = left.join(right, left["k"] == right["rk"], "left_semi")
+    cand = bloom_prefilter(left, right, "k", "rk", n_bits=16)
+    assert exact.exceptAll(cand.select(*exact.columns)).count() == 0

@@ -84,3 +84,73 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"conv_id", "n_turns", "ocr_fallback_rate"} <= set(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 semantic invariants (the oracle pins values; these pin the
+# CONTRACT a snapshot consumer relies on).
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_invariants(spark):
+    from pdf_parser_spark.queries import QUERIES
+
+    rows = QUERIES["scd2_intervals"](spark, SF_DIR).collect()
+    latest = {
+        r["user_id"]: r
+        for r in QUERIES["latest_per_key"](spark, SF_DIR).collect()
+    }
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(latest)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        # versions contiguous from 1
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        # chained intervals: each valid_to is the next valid_from;
+        # exactly the last one is open ('')
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+        assert ivs[-1]["valid_to"] == ""
+        assert all(r["valid_to"] != "" for r in ivs[:-1])
+        # adjacent intervals always change state
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["event_type"] != b["event_type"]
+        # the open interval is the user's current state
+        assert ivs[-1]["event_type"] == latest[uid]["last_event_type"]
+        assert ivs[-1]["valid_from"] <= latest[uid]["last_ts"]
+
+
+# ---------------------------------------------------------------------------
+# phrase_hits unit semantics: adjacency, ordering, overlap counting.
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_hits_semantics(spark):
+    from pdf_parser_spark.search import phrase_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "sort merge join beats hash sort merge here"),  # 2 hits
+            (2, "merge sort is not the phrase"),  # reversed -> 0
+            (3, "sort  Merge, with punctuation"),  # tokenizer normalizes
+            (4, "sort then merge"),  # not adjacent -> 0
+            (5, "sort sort merge"),  # hit at offset 1
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in phrase_hits(docs, ["sort", "merge"]).collect()}
+    assert set(got) == {1, 3, 5}
+    assert (got[1]["n_hits"], got[1]["first_pos"]) == (2, 0)
+    assert (got[3]["n_hits"], got[3]["first_pos"]) == (1, 0)
+    assert (got[5]["n_hits"], got[5]["first_pos"]) == (1, 1)
+
+
+def test_phrase_hits_overlapping_terms(spark):
+    from pdf_parser_spark.search import phrase_hits
+
+    docs = spark.createDataFrame([(1, "a a a a")], "doc_id LONG, text STRING")
+    got = phrase_hits(docs, ["a", "a"]).collect()
+    assert (got[0]["n_hits"], got[0]["first_pos"]) == (3, 0)
