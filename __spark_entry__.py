@@ -408,7 +408,7 @@ GATE_ORDER: list[str] = [
     "semantic_search",
     "keyword_rank_suite",
     # dedup family
-    "minhash_near_dup",
+    "neardup_pairs_suite",
     "dup_clusters",
     "simhash_dedup",
     "ngram_jaccard_dup",

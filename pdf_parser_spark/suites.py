@@ -26,11 +26,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dataops import (
+    DATAOPS_ORACLES,
     DE_STOP,
     DOMAIN_CAP_K,
     EN_STOP,
     ES_STOP,
     FR_STOP,
+    SQL_MINHASH_NEAR_DUP,
+    SQL_UNIGRAM_LOGPROB,
+    q_minhash_near_dup,
+    q_unigram_logprob,
+    q_winnow_near_dup,
     SPLIT_TRAIN_PCT,
     SPLIT_VAL_PCT,
     SQL_DOC_FINGERPRINT,
@@ -177,6 +183,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_bigram / F.greatest(F.size(bigrams), F.lit(1)), 6).alias(
             "top_bigram_frac"
         ),
+    ).join(
+        # unigram-LM member: inherently two-pass (the corpus unigram
+        # model is an aggregate), so it cannot fuse into the projection
+        # — one doc_id equi-join on the 2-column score table instead.
+        q_unigram_logprob(spark, sf_dir).select(
+            "doc_id", "avg_logprob", "ppl_proxy"
+        ),
+        "doc_id",
     )
 
 
@@ -185,11 +199,13 @@ SQL_TEXT_METRICS = f"""
            q.n_tokens, q.mean_token_len, q.alpha_ratio, q.stopword_ratio,
            q.quality_score,
            t.ws_tokens, t.word_tokens, t.bpe_est_tokens,
-           r.distinct_ratio, r.top_token_frac, r.top_bigram_frac
+           r.distinct_ratio, r.top_token_frac, r.top_bigram_frac,
+           u.avg_logprob, u.ppl_proxy
     FROM ({SQL_LANG_ID}) l
     JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
     JOIN ({SQL_TOKEN_COUNT}) t USING (doc_id)
     JOIN ({SQL_TEXT_REPETITION}) r USING (doc_id)
+    JOIN ({SQL_UNIGRAM_LOGPROB}) u USING (doc_id)
 """
 
 
@@ -661,6 +677,47 @@ SQL_KEYWORD_RANK_SUITE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# neardup_pairs_suite: the two candidate-pair generators share the
+# (doc_a, doc_b, score) grain — banded MinHash/Jaccard (word-shingle
+# similarity) and winnowing-fingerprint overlap (shared-substring
+# sensitivity). One tagged union keeps both inside the 50-key gate.
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate-pair surface: LSH-banded MinHash pairs with
+    exact-Jaccard verify (part='minhash', score=jaccard, n=0) and
+    MOSS-style winnowing-overlap pairs (part='winnow', score=overlap,
+    n=shared post-filter hashes). See member docstrings for the
+    banded / inverted-index 100 TB shapes."""
+    mh = q_minhash_near_dup(spark, sf_dir).select(
+        F.lit("minhash").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.lit(0).cast("long").alias("n"),
+        F.col("jaccard").alias("score"),
+    )
+    wn = q_winnow_near_dup(spark, sf_dir).select(
+        F.lit("winnow").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.col("shared_hashes").alias("n"),
+        F.col("overlap").alias("score"),
+    )
+    return mh.unionByName(wn)
+
+
+SQL_NEARDUP_PAIRS_SUITE = f"""
+    SELECT 'minhash' AS part, doc_a, doc_b, CAST(0 AS BIGINT) AS n,
+           jaccard AS score
+    FROM ({SQL_MINHASH_NEAR_DUP})
+    UNION ALL
+    SELECT 'winnow', doc_a, doc_b, CAST(shared_hashes AS BIGINT), overlap
+    FROM ({DATAOPS_ORACLES["winnow_near_dup"]})
+"""
+
+
 # events_pivot stays a standalone key (unique per-user wide-count grain)
 SQL_EVENTS_PIVOT_SUITE = SQL_EVENTS_PIVOT  # re-export for registry symmetry
 
@@ -678,6 +735,7 @@ SUITE_QUERIES = {
     "semi_join_suite": q_semi_join_suite,
     "scd2_suite": q_scd2_suite,
     "keyword_rank_suite": q_keyword_rank_suite,
+    "neardup_pairs_suite": q_neardup_pairs_suite,
 }
 
 SUITE_ORACLES = {
@@ -693,4 +751,5 @@ SUITE_ORACLES = {
     "semi_join_suite": SQL_SEMI_JOIN_SUITE,
     "scd2_suite": SQL_SCD2_SUITE,
     "keyword_rank_suite": SQL_KEYWORD_RANK_SUITE,
+    "neardup_pairs_suite": SQL_NEARDUP_PAIRS_SUITE,
 }
