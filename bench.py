@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "ngram_topk",
     "bm25_search",
     "phrase_search",
+    "hybrid_search",
     "tpch_q12",
     "tpch_q19",
     "sequence_pack",

@@ -308,6 +308,13 @@ BM25_TOPK = 10
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 rank of the fixed term query; returns (doc_id, bm25)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_rank(docs, BM25_QUERY_TERMS, BM25_TOPK)
+
+
+def bm25_rank(docs: DataFrame, terms: list[str], topk: int) -> DataFrame:
+    """BM25 scoring of ``terms`` over a (doc_id, text) DataFrame;
+    returns the top-``topk`` (doc_id, bm25). Terms absent from the
+    corpus simply contribute nothing (their postings are empty)."""
     toks = docs.withColumn(
         "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     )
@@ -317,7 +324,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # 1 row -> broadcast cross join
     postings = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(BM25_QUERY_TERMS))
+        .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
@@ -346,12 +353,13 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib.groupBy("doc_id")
         .agg(F.round(F.sum("c"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_TOPK)
+        .limit(topk)
     )
 
 
-def _sql_bm25_search() -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+def _sql_bm25_search(query_terms: list[str] | None = None, topk: int | None = None) -> str:
+    terms = ", ".join(f"'{t}'" for t in (query_terms or BM25_QUERY_TERMS))
+    topk = topk if topk is not None else BM25_TOPK
     return f"""
     WITH d AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -379,7 +387,7 @@ def _sql_bm25_search() -> str:
     CROSS JOIN stats
     GROUP BY p.doc_id
     ORDER BY bm25 DESC, p.doc_id ASC
-    LIMIT {BM25_TOPK}
+    LIMIT {topk}
 """
 
 
@@ -458,10 +466,77 @@ def _sql_phrase_search() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion (RRF, k=60 — the standard
+# Cormack/Clarke/Buettcher constant) of the semantic ranking and the
+# BM25 ranking of the SAME query. The modern retrieval default: lexical
+# and vector rankers fail differently, and RRF needs no score
+# calibration because it fuses RANKS, not scores. At 100 TB both
+# member rankers are index-backed top-k pipelines (see their shapes);
+# the fusion itself touches only 2*topk rows — a driver-scale full
+# outer join stacked on two TakeOrderedAndProject results.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPK = 10
+HYBRID_TERMS = DEFAULT_QUERY.split()
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of semantic and BM25 top-k for DEFAULT_QUERY;
+    returns (rank, doc_id, rrf)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sem = rank_search(doc_vectors(docs), docs, DEFAULT_QUERY).select(
+        "doc_id", F.col("rank").alias("r_sem")
+    )
+    bm = bm25_rank(docs, HYBRID_TERMS, HYBRID_TOPK)
+    # limit-then-rank: the window sees only the topk survivors
+    bmr = bm.withColumn(
+        "r_bm", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    ).select("doc_id", "r_bm")
+    one = F.lit(1.0)
+    fused = sem.join(bmr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(one / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(RRF_K) + F.col("r_bm")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HYBRID_TOPK)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
+    ).select("rank", "doc_id", "rrf")
+
+
+def _sql_hybrid_search() -> str:
+    return f"""
+    WITH sem AS (
+        SELECT doc_id, rank AS r_sem FROM ({_sql_semantic_search()})
+    ),
+    bm AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm
+        FROM ({_sql_bm25_search(HYBRID_TERMS, HYBRID_TOPK)})
+    ),
+    fused AS (
+        SELECT coalesce(sem.doc_id, bm.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({RRF_K} + r_sem), 0)
+                     + coalesce(1.0 / ({RRF_K} + r_bm), 0), 6) AS rrf
+        FROM sem FULL OUTER JOIN bm ON sem.doc_id = bm.doc_id
+    ),
+    top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOPK})
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank,
+           doc_id, rrf
+    FROM top
+"""
+
+
 SEARCH_QUERIES = {
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
     "phrase_search": q_phrase_search,
+    "hybrid_search": q_hybrid_search,
 }
 SEARCH_ORACLES = {
     # both engine paths (direct embed vs persisted index) must produce
@@ -473,4 +548,5 @@ SEARCH_ORACLES = {
 """,
     "bm25_search": _sql_bm25_search(),
     "phrase_search": _sql_phrase_search(),
+    "hybrid_search": _sql_hybrid_search(),
 }

@@ -68,6 +68,7 @@ from .multimodal import (
 from .search import (
     SEARCH_ORACLES,
     q_bm25_search,
+    q_hybrid_search,
     q_phrase_search,
 )
 from .queries import (
@@ -651,8 +652,10 @@ SQL_SCD2_SUITE = f"""
 
 def q_keyword_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical search surface: BM25 top-k of the fixed term query
-    (part='bm25', score=bm25, aux=0) and exact-phrase hits with first
-    occurrence offset (part='phrase', score=n_hits, aux=first_pos)."""
+    (part='bm25', score=bm25, aux=0), exact-phrase hits with first
+    occurrence offset (part='phrase', score=n_hits, aux=first_pos), and
+    reciprocal-rank fusion of the semantic and BM25 rankers
+    (part='hybrid', score=rrf, aux=fused rank)."""
     bm25 = q_bm25_search(spark, sf_dir).select(
         F.lit("bm25").alias("part"),
         "doc_id",
@@ -665,7 +668,13 @@ def q_keyword_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("double").alias("score"),
         F.col("first_pos").alias("aux"),
     )
-    return bm25.unionByName(phrase)
+    hybrid = q_hybrid_search(spark, sf_dir).select(
+        F.lit("hybrid").alias("part"),
+        "doc_id",
+        F.col("rrf").alias("score"),
+        F.col("rank").cast("long").alias("aux"),
+    )
+    return bm25.unionByName(phrase).unionByName(hybrid)
 
 
 SQL_KEYWORD_RANK_SUITE = f"""
@@ -674,6 +683,9 @@ SQL_KEYWORD_RANK_SUITE = f"""
     UNION ALL
     SELECT 'phrase', doc_id, CAST(n_hits AS DOUBLE), first_pos
     FROM ({SEARCH_ORACLES["phrase_search"]})
+    UNION ALL
+    SELECT 'hybrid', doc_id, rrf, CAST(rank AS BIGINT)
+    FROM ({SEARCH_ORACLES["hybrid_search"]})
 """
 
 
