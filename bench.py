@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     "winnow_near_dup",
+    "dedup_accuracy",
     "token_count",
     "corpus_filter",
     "embedding_kmeans",

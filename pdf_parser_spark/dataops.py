@@ -1430,6 +1430,131 @@ def _sql_winnow_near_dup() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Dedup accuracy contract: the dedup-family twin of ann_accuracy — the
+# first question a 100 TB user asks before trusting BANDED candidate
+# generation is "what fraction of the true near-dups does it find?".
+# ---------------------------------------------------------------------------
+
+DEDUP_TRUTH_MIN_J = 0.5  # ground-truth threshold; banding targets j >= ~0.5
+
+
+def q_dedup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair precision/recall of the two near-dup candidate generators
+    against exact-Jaccard ground truth: all pairs with true Jaccard
+    >= DEDUP_TRUTH_MIN_J over the capped shingle sets, computed by a
+    full posting self-join (shared-shingle pairs only, hot-shingle df
+    cap bounds the fan-out — the same inverted-index shape as the
+    winnow pair join, NOT an all-pairs crossJoin; at 100 TB this is a
+    sampled audit, here it is exhaustive). One row per method:
+    (method, n_true, n_found, n_hit, pair_precision, pair_recall).
+
+    minhash_lsh is compared at the same j >= 0.5 cut (its verify stage
+    already computes exact Jaccard, so misses can only come from
+    BANDING — 8 bands x 2 rows gives P(candidate) = 1-(1-j^2)^8 ~ 0.90
+    at j = 0.5 and ~1.0 at j >= 0.7). winnow is scored against the same
+    Jaccard truth even though its own contract is overlap >= 0.7 —
+    its pair_precision below 1.0 legitimately reflects
+    substring-containment pairs that word-shingle Jaccard dilutes.
+    Floors pinned in tests/test_dataops.py."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+    truth = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= DEDUP_TRUTH_MIN_J)
+        .select("doc_a", "doc_b")
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    mh = (
+        q_minhash_near_dup(spark, sf_dir)
+        .filter(F.col("jaccard") >= DEDUP_TRUTH_MIN_J)
+        .select("doc_a", "doc_b")
+    )
+    wn = q_winnow_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+
+    def measure(found: DataFrame, method: str) -> DataFrame:
+        return (
+            found.join(
+                truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left_outer"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_found"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+            )
+            .crossJoin(F.broadcast(n_true))  # 1-row stats side
+            .select(
+                F.lit(method).alias("method"),
+                "n_true",
+                "n_found",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.greatest(F.col("n_found"), F.lit(1)), 6
+                ).alias("pair_precision"),
+                F.round(
+                    F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6
+                ).alias("pair_recall"),
+            )
+        )
+
+    return measure(mh, "minhash_lsh").unionByName(measure(wn, "winnow"))
+
+
+def _sql_dedup_accuracy() -> str:
+    return f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+        FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE i * 1.0 / (za.n + zb.n - i) >= {DEDUP_TRUTH_MIN_J}
+    ),
+    tn AS (SELECT count(*) AS n_true FROM truth),
+    mh AS (
+        SELECT doc_a, doc_b FROM ({SQL_MINHASH_NEAR_DUP})
+        WHERE jaccard >= {DEDUP_TRUTH_MIN_J}
+    ),
+    wn AS (SELECT doc_a, doc_b FROM ({{WINNOW}})),
+    stat AS (
+        SELECT 'minhash_lsh' AS method, count(*) AS n_found,
+               count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM truth t
+                   WHERE t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+               )) AS n_hit
+        FROM mh m
+        UNION ALL
+        SELECT 'winnow', count(*),
+               count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM truth t
+                   WHERE t.doc_a = w.doc_a AND t.doc_b = w.doc_b
+               ))
+        FROM wn w
+    )
+    SELECT method, CAST(tn.n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found, CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit * 1.0 / greatest(n_found, 1), 6) AS pair_precision,
+           round(n_hit * 1.0 / greatest(tn.n_true, 1), 6) AS pair_recall
+    FROM stat CROSS JOIN tn
+""".replace("{WINNOW}", _sql_winnow_near_dup())
+
+
+# ---------------------------------------------------------------------------
 # Clustering: deterministic spherical k-means (2 unrolled Lloyd steps)
 # ---------------------------------------------------------------------------
 
@@ -2420,6 +2545,7 @@ DATAOPS_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "winnow_near_dup": q_winnow_near_dup,
+    "dedup_accuracy": q_dedup_accuracy,
     "kmv_distinct_users": q_kmv_distinct_users,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
@@ -2452,6 +2578,7 @@ DATAOPS_ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
     "winnow_near_dup": _sql_winnow_near_dup(),
+    "dedup_accuracy": _sql_dedup_accuracy(),
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,

@@ -34,6 +34,7 @@ from .dataops import (
     FR_STOP,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
+    q_dedup_accuracy,
     q_minhash_near_dup,
     q_unigram_logprob,
     q_winnow_near_dup,
@@ -717,7 +718,17 @@ def q_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared_hashes").alias("n"),
         F.col("overlap").alias("score"),
     )
-    return mh.unionByName(wn)
+    # accuracy rows (one per method): doc_a=n_true, doc_b=n_found,
+    # n=n_hit, score=pair_recall — precision is n/doc_b, so the full
+    # dedup_accuracy result stays derivable from the gate row.
+    acc = q_dedup_accuracy(spark, sf_dir).select(
+        F.concat(F.lit("acc_"), F.col("method")).alias("part"),
+        F.col("n_true").alias("doc_a"),
+        F.col("n_found").alias("doc_b"),
+        F.col("n_hit").alias("n"),
+        F.col("pair_recall").alias("score"),
+    )
+    return mh.unionByName(wn).unionByName(acc)
 
 
 SQL_NEARDUP_PAIRS_SUITE = f"""
@@ -727,6 +738,9 @@ SQL_NEARDUP_PAIRS_SUITE = f"""
     UNION ALL
     SELECT 'winnow', doc_a, doc_b, CAST(shared_hashes AS BIGINT), overlap
     FROM ({DATAOPS_ORACLES["winnow_near_dup"]})
+    UNION ALL
+    SELECT 'acc_' || method, n_true, n_found, n_hit, pair_recall
+    FROM ({DATAOPS_ORACLES["dedup_accuracy"]})
 """
 
 

@@ -400,3 +400,24 @@ def test_unigram_logprob_known_values_and_empty_docs(spark):
     # zero-token docs: kept, neutral score
     assert list(out["avg_logprob"].iloc[2:]) == [0.0, 0.0]
     assert list(out["ppl_proxy"].iloc[2:]) == [1.0, 1.0]
+
+
+def test_dedup_pair_accuracy_floors(spark):
+    """Banded candidate generation must stay trustworthy: pair
+    precision/recall vs exact-Jaccard ground truth (j >= 0.5) via the
+    q_dedup_accuracy contract query. minhash_lsh precision is exactly
+    1.0 BY CONSTRUCTION (its verify stage computes exact Jaccard, so
+    found pairs at the truth cut are a subset of truth); its recall can
+    only lose pairs to banding (P(candidate) ~0.90 at j=0.5, ~1.0 at
+    j>=0.7). Measured at sf0.001: 1.0/1.0 for both methods on the
+    bimodal synthetic corpus — floors leave drift margin."""
+    from pdf_parser_spark.dataops import q_dedup_accuracy
+
+    acc = q_dedup_accuracy(spark, SF_DIR).toPandas().set_index("method")
+    assert acc.loc["minhash_lsh", "pair_precision"] == 1.0
+    assert acc.loc["minhash_lsh", "pair_recall"] >= 0.85
+    assert acc.loc["winnow", "pair_recall"] >= 0.85
+    assert acc.loc["winnow", "pair_precision"] >= 0.85
+    # counts consistent: hits never exceed either side
+    assert (acc["n_hit"] <= acc["n_found"]).all()
+    assert (acc["n_hit"] <= acc["n_true"]).all()
