@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_winnow_fingerprint",
     "winnow_near_dup",
     "dedup_accuracy",
+    "incremental_dedup",
     "token_count",
     "corpus_filter",
     "embedding_kmeans",

@@ -173,20 +173,22 @@ _SQL_SHINGLES = f"""
 # ---------------------------------------------------------------------------
 
 
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) -> 8 bands x 2 rows -> band-bucket candidate join ->
-    exact Jaccard verify. Signatures via ONE groupBy with 16 min()
-    aggregates (map-side combine; no row explosion). min() over md5 hex
-    strings is a valid random-permutation proxy and is engine-portable."""
-    sh = _doc_shingles(spark, sf_dir)
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band table over the shingle postings —
+    signatures via ONE groupBy with 16 min() aggregates (map-side
+    combine; no row explosion); band key md5(least||greatest) is
+    order-free, same formula as the oracle. min() over md5 hex strings
+    is a valid random-permutation proxy and is engine-portable. At
+    100 TB this table IS the persisted dedup index (write-once per
+    corpus version; incremental ingest probes it, see
+    q_incremental_dedup)."""
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(N_MINHASH)
         ]
     )
-    # band key md5(least||greatest) — order-free, same formula as oracle
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -205,13 +207,11 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    over the shingle postings; keeps pairs >= MINHASH_JACCARD_MIN."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
@@ -234,6 +234,62 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
     )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> 8 bands x 2 rows -> band-bucket candidate join ->
+    exact Jaccard verify (helpers: _minhash_bands, _verify_pairs)."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(sh)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_pairs(sh, cand)
+
+
+INC_NEW_BUCKETS = 10  # newest generation = bucket 0 of 10 (~10% of docs)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generational (incremental) near-dup detection: dedup ONLY the
+    newest ingest generation against the whole corpus, without
+    recomputing the full pair table — the production shape for an
+    Iceberg-snapshot pipeline where each snapshot adds ~% new docs and
+    the existing corpus already has a persisted band index.
+
+    The "new" generation is the deterministic hash split
+    md5-bucket(doc_id) % 10 == 0 (portable to the oracle). Candidates
+    are new-doc band rows probing the FULL band table (new x all, an
+    equi-join on (band, bkey)), so the join fans out per new doc, not
+    per corpus doc; the base x base quadrant — the overwhelming bulk
+    at a 1% ingest rate — is never touched. Verification is the same
+    exact-Jaccard stage as the full pipeline. RESULT CONTRACT: exactly
+    the full pair table restricted to pairs touching a new doc (the
+    oracle is the full SQL pair table with that filter) — banding is
+    deterministic, so a touching-new pair band-matches in the probe
+    join iff it band-matches in the full self-join. In production the
+    band table is read from the index sink instead of recomputed;
+    shingles for base docs are only pulled for the (few) verified
+    candidates' exact check."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(sh)
+    is_new = _doc_hash_bucket(INC_NEW_BUCKETS) == 0
+    new_b = bands.filter(is_new)
+    cand = (
+        new_b.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(sh, cand)
 
 
 SQL_MINHASH_NEAR_DUP = f"""
@@ -266,6 +322,19 @@ SQL_MINHASH_NEAR_DUP = f"""
     JOIN sizes za ON za.doc_id = doc_a
     JOIN sizes zb ON zb.doc_id = doc_b
     WHERE round(i * 1.0 / (za.n + zb.n - i), 6) >= {MINHASH_JACCARD_MIN}
+"""
+
+# Contract of q_incremental_dedup: the full pair table restricted to
+# pairs touching the "new" hash generation (see its docstring) — the
+# oracle applies that filter to the full-pipeline SQL verbatim.
+_SQL_NEW_DOC = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % {m} = 0"
+)
+SQL_INCREMENTAL_DEDUP = f"""
+    SELECT doc_a, doc_b, jaccard FROM ({SQL_MINHASH_NEAR_DUP}) p
+    WHERE {_SQL_NEW_DOC.format(col="doc_a", m=INC_NEW_BUCKETS)}
+       OR {_SQL_NEW_DOC.format(col="doc_b", m=INC_NEW_BUCKETS)}
 """
 
 
@@ -2546,6 +2615,7 @@ DATAOPS_QUERIES = {
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "winnow_near_dup": q_winnow_near_dup,
     "dedup_accuracy": q_dedup_accuracy,
+    "incremental_dedup": q_incremental_dedup,
     "kmv_distinct_users": q_kmv_distinct_users,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
@@ -2579,6 +2649,7 @@ DATAOPS_ORACLES = {
     "doc_winnow_fingerprint": _sql_doc_winnow_fingerprint(),
     "winnow_near_dup": _sql_winnow_near_dup(),
     "dedup_accuracy": _sql_dedup_accuracy(),
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,

@@ -32,9 +32,11 @@ from .dataops import (
     EN_STOP,
     ES_STOP,
     FR_STOP,
+    SQL_INCREMENTAL_DEDUP,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
     q_dedup_accuracy,
+    q_incremental_dedup,
     q_minhash_near_dup,
     q_unigram_logprob,
     q_winnow_near_dup,
@@ -728,7 +730,14 @@ def q_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").alias("n"),
         F.col("pair_recall").alias("score"),
     )
-    return mh.unionByName(wn).unionByName(acc)
+    inc = q_incremental_dedup(spark, sf_dir).select(
+        F.lit("incremental").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.lit(0).cast("long").alias("n"),
+        F.col("jaccard").alias("score"),
+    )
+    return mh.unionByName(wn).unionByName(acc).unionByName(inc)
 
 
 SQL_NEARDUP_PAIRS_SUITE = f"""
@@ -741,6 +750,9 @@ SQL_NEARDUP_PAIRS_SUITE = f"""
     UNION ALL
     SELECT 'acc_' || method, n_true, n_found, n_hit, pair_recall
     FROM ({DATAOPS_ORACLES["dedup_accuracy"]})
+    UNION ALL
+    SELECT 'incremental', doc_a, doc_b, CAST(0 AS BIGINT), jaccard
+    FROM ({SQL_INCREMENTAL_DEDUP})
 """
 
 

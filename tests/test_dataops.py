@@ -421,3 +421,33 @@ def test_dedup_pair_accuracy_floors(spark):
     # counts consistent: hits never exceed either side
     assert (acc["n_hit"] <= acc["n_found"]).all()
     assert (acc["n_hit"] <= acc["n_true"]).all()
+
+
+def test_incremental_dedup_equals_restricted_full(spark):
+    """The generational probe must produce EXACTLY the full pair table
+    restricted to pairs touching the new hash generation — no pair
+    lost (banding is deterministic, so a touching-new pair band-matches
+    in the probe join iff it does in the full self-join) and none
+    invented."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.dataops import (
+        INC_NEW_BUCKETS,
+        _doc_hash_bucket,
+        q_incremental_dedup,
+        q_minhash_near_dup,
+    )
+
+    full = q_minhash_near_dup(spark, SF_DIR)
+
+    def is_new(col):
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        return h % INC_NEW_BUCKETS == 0
+
+    expected = full.filter(is_new("doc_a") | is_new("doc_b"))
+    got = q_incremental_dedup(spark, SF_DIR)
+    assert got.count() > 0  # non-vacuous at sf0.001
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
