@@ -248,6 +248,10 @@ def bloom_prefilter(
     """The screening stage of :func:`bloom_semi_join`, exposed so the
     candidate set (true matches + Bloom false positives, never a false
     negative) is testable and reusable as a standalone scan filter."""
+    if n_hashes < 1:
+        raise ValueError("bloom_prefilter: n_hashes must be >= 1")
+    if n_bits < 1:
+        raise ValueError("bloom_prefilter: n_bits must be >= 1")
     n_words = (n_bits + 63) // 64
 
     # Build: one explode + one bounded aggregate (<= n_words rows leave

@@ -415,6 +415,8 @@ def phrase_hits(docs: DataFrame, terms: list[str]) -> DataFrame:
     (doc_id, n_hits, first_pos), first_pos 0-based token offset.
     Overlapping occurrences each count (same as the sliding-window
     oracle). See module comment for the 100 TB shape."""
+    if not terms:
+        raise ValueError("phrase_hits: terms must be non-empty")
     pos = (
         docs.withColumn(
             "toks",
