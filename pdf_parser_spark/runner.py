@@ -100,6 +100,11 @@ def _check_manifest(out_dir: str, n_buckets: int) -> None:
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     path = _lineage_dir(out_dir)
+    # exists-check first: spark.read on a missing path logs a noisy
+    # WARN + FileNotFoundException stack (FileStreamSink metadata
+    # probe) before the exception reaches the except arm below
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema=LINEAGE_SCHEMA)
     try:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:
