@@ -492,10 +492,14 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rank").alias("r_sem")
     )
     bm = bm25_rank(docs, HYBRID_TERMS, HYBRID_TOPK)
-    # limit-then-rank: the window sees only the topk survivors
-    bmr = bm.withColumn(
-        "r_bm", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-    ).select("doc_id", "r_bm")
+    # limit-then-rank: the window sees only the topk survivors; the
+    # pmod(.,1) partition spec (always 0, not constant-folded) keeps
+    # WindowExec off the single-partition warning path — same idiom as
+    # q_pagination_topk
+    w_bm = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    bmr = bm.withColumn("r_bm", F.row_number().over(w_bm)).select("doc_id", "r_bm")
     one = F.lit(1.0)
     fused = sem.join(bmr, "doc_id", "full_outer").select(
         "doc_id",
@@ -506,9 +510,12 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HYBRID_TOPK)
-    return top.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id")))
-    ).select("rank", "doc_id", "rrf")
+    w_f = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return top.withColumn("rank", F.row_number().over(w_f)).select(
+        "rank", "doc_id", "rrf"
+    )
 
 
 def _sql_hybrid_search() -> str:
