@@ -236,11 +236,28 @@ def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+_BAND_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, materialized (doc_id, band, bkey) LSH index — the
+    in-session analogue of the persisted band index both the full
+    pipeline and the generational probe read (8 rows/doc, one
+    signature groupBy; without the memo the incremental path rebuilds
+    the signature aggregate the full path just built)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BAND_CACHE.get(key)
+    if cached is None:
+        cached = _minhash_bands(_doc_shingles(spark, sf_dir)).localCheckpoint()
+        _BAND_CACHE[key] = cached
+    return cached
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) -> 8 bands x 2 rows -> band-bucket candidate join ->
     exact Jaccard verify (helpers: _minhash_bands, _verify_pairs)."""
     sh = _doc_shingles(spark, sf_dir)
-    bands = _minhash_bands(sh)
+    bands = _minhash_band_table(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -276,7 +293,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles for base docs are only pulled for the (few) verified
     candidates' exact check."""
     sh = _doc_shingles(spark, sf_dir)
-    bands = _minhash_bands(sh)
+    bands = _minhash_band_table(spark, sf_dir)
     is_new = _doc_hash_bucket(INC_NEW_BUCKETS) == 0
     new_b = bands.filter(is_new)
     cand = (
@@ -1545,11 +1562,11 @@ def q_dedup_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
     mh = (
-        q_minhash_near_dup(spark, sf_dir)
+        _minhash_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= DEDUP_TRUTH_MIN_J)
         .select("doc_a", "doc_b")
     )
-    wn = q_winnow_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    wn = _winnow_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
     def measure(found: DataFrame, method: str) -> DataFrame:
         return (
@@ -1743,7 +1760,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = q_text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
     lang = q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
     dups = (
-        q_minhash_near_dup(spark, sf_dir)
+        _minhash_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= DUP_JACCARD_MIN)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -2178,12 +2195,12 @@ DOMAIN_CAP_K = 5
 NGRAM_TOPK_CORPUS = 20
 
 
-def _doc_hash_bucket(n_buckets: int):
-    """Deterministic bucket in [0, n_buckets) from md5(doc_id) — the
+def _doc_hash_bucket(n_buckets: int, col: str = "doc_id"):
+    """Deterministic bucket in [0, n_buckets) from md5(col) — the
     same 60-bit prefix parse as the oracle's
     CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
     h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     return h % n_buckets
 
@@ -2350,29 +2367,39 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction to cut round count for high-diameter graphs; see
     Kiveris et al., "Connected Components in MapReduce and Beyond").
     """
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized, materialized (doc_a, doc_b) near-dup pairs — same
-    write-once-table argument as _SHINGLE_CACHE: at cluster scale the
-    verified pair list is persisted once (parquet) and every consumer
-    (cluster formation, canonical-keep filters, dup reports) reads it;
-    one in-session build is the honest analogue."""
+    """Memoized, materialized (doc_a, doc_b, jaccard) near-dup pairs —
+    same write-once-table argument as _SHINGLE_CACHE: at cluster scale
+    the verified pair table is persisted once (parquet) and every
+    consumer (cluster formation, canonical-keep filters, the accuracy
+    audit, the gate suite) reads it; one in-session build is the
+    honest analogue."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is None:
-        cached = (
-            q_minhash_near_dup(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint()
-        )
+        cached = q_minhash_near_dup(spark, sf_dir).localCheckpoint()
         _PAIR_CACHE[key] = cached
     return cached
 
 
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, materialized winnow near-dup pair table
+    (doc_a, doc_b, shared_hashes, overlap) — the winnow twin of
+    _minhash_pairs, shared by the gate suite and the accuracy audit."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINNOW_PAIR_CACHE.get(key)
+    if cached is None:
+        cached = q_winnow_near_dup(spark, sf_dir).localCheckpoint()
+        _WINNOW_PAIR_CACHE[key] = cached
+    return cached
+
+
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WINNOW_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 # Per-op transient-persist registries: each op drains only ITS OWN
 # previous frames at entry (draining another op's frames would defeat
 # that op's tokenize-once persist for a still-unevaluated returned
@@ -2398,7 +2425,13 @@ def clear_memo_caches() -> None:
     the reuse is intentional — corpus_filter and dup_clusters share the
     minhash pair plan like a real pipeline shares a write-once
     table)."""
-    for cache in (_SHINGLE_CACHE, _PAIR_CACHE, _WINNOW_POST_CACHE):
+    for cache in (
+        _SHINGLE_CACHE,
+        _BAND_CACHE,
+        _PAIR_CACHE,
+        _WINNOW_PAIR_CACHE,
+        _WINNOW_POST_CACHE,
+    ):
         for df in cache.values():
             try:
                 df.unpersist()

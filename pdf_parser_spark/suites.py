@@ -35,11 +35,11 @@ from .dataops import (
     SQL_INCREMENTAL_DEDUP,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
+    _minhash_pairs,
+    _winnow_pairs,
     q_dedup_accuracy,
     q_incremental_dedup,
-    q_minhash_near_dup,
     q_unigram_logprob,
-    q_winnow_near_dup,
     SPLIT_TRAIN_PCT,
     SPLIT_VAL_PCT,
     SQL_DOC_FINGERPRINT,
@@ -706,14 +706,17 @@ def q_neardup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     MOSS-style winnowing-overlap pairs (part='winnow', score=overlap,
     n=shared post-filter hashes). See member docstrings for the
     banded / inverted-index 100 TB shapes."""
-    mh = q_minhash_near_dup(spark, sf_dir).select(
+    # members read the memoized pair tables (_minhash_pairs /
+    # _winnow_pairs) — the accuracy rows below re-read the SAME
+    # materialized frames instead of re-running both pipelines
+    mh = _minhash_pairs(spark, sf_dir).select(
         F.lit("minhash").alias("part"),
         "doc_a",
         "doc_b",
         F.lit(0).cast("long").alias("n"),
         F.col("jaccard").alias("score"),
     )
-    wn = q_winnow_near_dup(spark, sf_dir).select(
+    wn = _winnow_pairs(spark, sf_dir).select(
         F.lit("winnow").alias("part"),
         "doc_a",
         "doc_b",

@@ -429,8 +429,6 @@ def test_incremental_dedup_equals_restricted_full(spark):
     lost (banding is deterministic, so a touching-new pair band-matches
     in the probe join iff it does in the full self-join) and none
     invented."""
-    from pyspark.sql import functions as F
-
     from pdf_parser_spark.dataops import (
         INC_NEW_BUCKETS,
         _doc_hash_bucket,
@@ -441,10 +439,7 @@ def test_incremental_dedup_equals_restricted_full(spark):
     full = q_minhash_near_dup(spark, SF_DIR)
 
     def is_new(col):
-        h = F.conv(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-        ).cast("bigint")
-        return h % INC_NEW_BUCKETS == 0
+        return _doc_hash_bucket(INC_NEW_BUCKETS, col) == 0
 
     expected = full.filter(is_new("doc_a") | is_new("doc_b"))
     got = q_incremental_dedup(spark, SF_DIR)
