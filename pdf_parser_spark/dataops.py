@@ -2125,14 +2125,19 @@ SQL_TEXT_REPETITION = f"""
 
 PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
 PII_PHONE_RE = "\\+[0-9][0-9]?-[0-9]{3}-[0-9]{4}"
+# \b is supported by both Java regex (Spark) and RE2 (DuckDB)
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_CARD_RE = "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b"
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inject deterministic PII into doc_id % 3 == 0, then redact
-    emails -> [EMAIL] and phones -> [PHONE]; report match counts and
-    the md5 of the scrubbed text (the driver hash then pins the exact
-    redacted bytes). regexp_replace / regexp_extract_all are JVM-side
-    whole-stage-codegen expressions — the scrub costs one scan."""
+    """Inject deterministic PII into doc_id % 3 == 0 (email + phone)
+    and doc_id % 5 == 0 (IPv4 + card number), then redact
+    emails -> [EMAIL], phones -> [PHONE], IPs -> [IP], card numbers ->
+    [CARD]; report per-class match counts and the md5 of the scrubbed
+    text (the driver hash then pins the exact redacted bytes).
+    regexp_replace / regexp_extract_all are JVM-side whole-stage-
+    codegen expressions — the four-class scrub still costs one scan."""
     docs = _docs(spark, sf_dir)
     pii = F.concat(
         F.lit(" contact user"),
@@ -2140,21 +2145,45 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@example.com or +1-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
+    pii2 = F.concat(
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" card 4111-2222-3333-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
     with_pii = docs.withColumn(
         "text2",
-        F.when(F.col("doc_id") % 3 == 0, F.concat("text", pii)).otherwise(
-            F.col("text")
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, pii).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, pii2).otherwise(F.lit("")),
         ),
     )
     n_emails = F.size(F.regexp_extract_all("text2", F.lit(PII_EMAIL_RE), 0))
     n_phones = F.size(F.regexp_extract_all("text2", F.lit(PII_PHONE_RE), 0))
+    n_ips = F.size(F.regexp_extract_all("text2", F.lit(PII_IPV4_RE), 0))
+    n_cards = F.size(F.regexp_extract_all("text2", F.lit(PII_CARD_RE), 0))
     scrubbed = F.regexp_replace(
-        F.regexp_replace("text2", PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text2", PII_EMAIL_RE, "[EMAIL]"),
+                PII_CARD_RE,
+                "[CARD]",
+            ),
+            PII_IPV4_RE,
+            "[IP]",
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
     )
     return with_pii.select(
         "doc_id",
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        n_cards.cast("long").alias("n_cards"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 
@@ -2162,19 +2191,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PII_SCRUB = f"""
     WITH w AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0
-                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                         || '@example.com or +1-555-'
-                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    ELSE text
-               END AS text2
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE ''
+                  END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 250 AS VARCHAR)
+                            || ' card 4111-2222-3333-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE ''
+                  END AS text2
         FROM documents
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
-           md5(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-                              '{PII_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+           CAST(len(regexp_extract_all(text2, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text2, '{PII_CARD_RE}')) AS BIGINT) AS n_cards,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text2,
+                   '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_CARD_RE}', '[CARD]', 'g'),
+                   '{PII_IPV4_RE}', '[IP]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
     FROM w
 """
 
