@@ -424,7 +424,7 @@ GATE_ORDER: list[str] = [
     "corpus_filter",
     "contamination_check",
     "pii_scrub",
-    "ngram_topk",
+    "cms_heavy_hitters",
     "sequence_pack",
     # ML / multimodal
     "embedding_kmeans",

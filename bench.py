@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_cap",
     "ngram_topk",
+    "cms_heavy_hitters",
+    "weighted_sample",
     "bm25_search",
     "phrase_search",
     "hybrid_search",

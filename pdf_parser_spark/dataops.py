@@ -2673,6 +2673,164 @@ SQL_SEQUENCE_PACK = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (the sketch-backed n-gram census)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_bucket(i: int, col: str = "gram"):
+    """Row-i CMS bucket in [0, CMS_WIDTH): the same md5 60-bit prefix
+    parse as _doc_hash_bucket, salted per sketch row ("c{i}|")."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"c{i}|"), F.col(col))), 1, 15), 16, 10
+    ).cast("bigint")
+    return h % CMS_WIDTH
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus bigram census: the fixed-state
+    twin of q_ngram_topk (reference analogue: the census behind
+    contamination checks; sketch per Cormode-Muthukrishnan 2005). The
+    sketch is CMS_DEPTH x CMS_WIDTH counters; each top-20 exact gram
+    is estimated as min over its CMS_DEPTH cells, and the one-sided
+    error (est >= exact always) is emitted as ``overest``.
+
+    Scale: the exact census keeps O(vocabulary) state — unbounded on a
+    web corpus — while the sketch is 2,048 mergeable cells regardless
+    of corpus size: the posexplode fans each gram to CMS_DEPTH 2-int
+    rows that partial-aggregate map-side into <= DEPTH*WIDTH cells per
+    task, so the shuffle moves at most (tasks x 2048) rows. The exact
+    top-k here is the audit candidate set (it pins the estimates to
+    ground truth in the gate); a 100 TB run derives candidates from a
+    sample or a per-partition local top-k instead and keeps only the
+    sketch as global state. Estimation joins the 4-cell lookup against
+    the <=2,048-row cell table (AQE broadcasts it)."""
+    grams = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", _tokens_col())
+        .select(F.explode(_ngrams_col(F.col("toks"), 2)).alias("gram"))
+    )
+    buckets = F.array(*[_cms_bucket(i) for i in range(CMS_DEPTH)])
+    cells = (
+        grams.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact_topk = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOPK_CORPUS)
+    )
+    cand = exact_topk.select(
+        "gram", "doc_freq", F.posexplode(buckets).alias("r", "b")
+    )
+    return (
+        cand.join(cells, ["r", "b"])
+        .groupBy("gram", "doc_freq")
+        .agg(F.min("cnt").alias("est_freq"))
+        .select(
+            "gram",
+            "doc_freq",
+            "est_freq",
+            (F.col("est_freq") - F.col("doc_freq")).alias("overest"),
+        )
+    )
+
+
+_SQL_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5('c' || CAST({r} AS VARCHAR) || '|' || gram), 1, 15))"
+    f" AS BIGINT) % {CMS_WIDTH}"
+)
+
+SQL_CMS_HEAVY_HITTERS = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT unnest(list_distinct(
+                   CASE WHEN len(toks) < 2 THEN []
+                        ELSE list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i + 1])
+                   END)) AS gram
+        FROM d
+    ),
+    rows_ AS (SELECT CAST(unnest(range({CMS_DEPTH})) AS INT) AS r),
+    cells AS (
+        SELECT r, {_SQL_CMS_BUCKET.format(r='r')} AS b, count(*) AS cnt
+        FROM g CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    cand0 AS (
+        SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+        ORDER BY doc_freq DESC, gram ASC LIMIT {NGRAM_TOPK_CORPUS}
+    ),
+    cand AS (
+        SELECT gram, doc_freq, r, {_SQL_CMS_BUCKET.format(r='r')} AS b
+        FROM cand0 CROSS JOIN rows_
+    )
+    SELECT cand.gram, cand.doc_freq,
+           min(cells.cnt) AS est_freq,
+           min(cells.cnt) - cand.doc_freq AS overest
+    FROM cand JOIN cells USING (r, b)
+    GROUP BY cand.gram, cand.doc_freq
+""".replace("{TOKEN_RE}", TOKEN_RE)
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sample (Duffield-Lund-Thorup, deterministic hash u)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 100
+_WSAMPLE_U_DEN = float(1 << 60)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted priority sample of WSAMPLE_K docs: priority
+    q_i = w_i / u_i with w_i = token count and u_i = (md5-60-bit(doc_id)
+    + 1) / 2^60 in (0, 1]; keep the k largest priorities
+    (Duffield-Lund-Thorup priority sampling — inclusion probability
+    ~ min(1, w_i / tau) for the (k+1)-th priority tau, so long docs are
+    proportionally favoured, reproducibly). The corpus-mix primitive
+    for "sample N tokens, not N docs" without a second weighting pass.
+
+    Determinism across engines: u and q use only IEEE-exact ops
+    (+, *, /) on a hash integer — never pow/log, which are not
+    correctly-rounded and can differ between Spark's and the oracle's
+    libm. One narrow scan + TakeOrderedAndProject (per-task k-row
+    heaps); no global sort, no shuffle beyond the top-k merge."""
+    u = (_doc_hash_bucket(1 << 60) + F.lit(1).cast("double")) / F.lit(_WSAMPLE_U_DEN)
+    w = F.greatest(F.size(_tokens_col()), F.lit(1)).cast("double")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(_tokens_col()).alias("n_toks"),
+            F.round(w / u, 6).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           round(greatest(len(toks), 1) * 1.0 /
+                 ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {1 << 60} + 1.0) / {_WSAMPLE_U_DEN!r}),
+                 6) AS priority
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+          FROM documents)
+    ORDER BY priority DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
 DATAOPS_QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "dup_clusters": q_dup_clusters,
@@ -2704,6 +2862,8 @@ DATAOPS_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
     "ngram_topk": q_ngram_topk,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
     "sequence_pack": q_sequence_pack,
 }
 
@@ -2738,5 +2898,7 @@ DATAOPS_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "ngram_topk": SQL_NGRAM_TOPK,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sequence_pack": SQL_SEQUENCE_PACK,
 }

@@ -52,6 +52,7 @@ from .dataops import (
     SQL_TEXT_REPETITION,
     SQL_TOKEN_COUNT,
     SQL_TRAIN_TEST_SPLIT,
+    SQL_WEIGHTED_SAMPLE,
     STRATA_RATES,
     _doc_hash_bucket,
     _docs,
@@ -60,6 +61,7 @@ from .dataops import (
     _sql_doc_winnow_fingerprint,
     _tokens_col,
     q_kmv_distinct_users,
+    q_weighted_sample,
     winnow_frame,
 )
 from .multimodal import (
@@ -264,8 +266,11 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rank window, instead of three scans and two joins. All
     three decisions are hash arithmetic over the same row, so they
     fuse into the scan projection; only the domain-cap rank needs the
-    (per-source, no global sort) shuffle. Oracle = the members' SQL
-    left-joined on doc_id."""
+    (per-source, no global sort) shuffle. The fourth member,
+    ``wsample_kept``, is membership in the length-weighted priority
+    sample (q_weighted_sample) — its <=WSAMPLE_K id list arrives as a
+    TakeOrderedAndProject subresult and AQE broadcasts the join back.
+    Oracle = the members' SQL left-joined on doc_id."""
     bucket = _doc_hash_bucket(100)
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
@@ -281,6 +286,9 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sample_kept = _doc_hash_bucket(10000) < rate.otherwise(F.lit(1.0)) * 10000
     w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    ws_ids = q_weighted_sample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_ws")
+    )
     return (
         _docs(spark, sf_dir)
         .select(
@@ -291,6 +299,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _doc_hash_bucket(1_000_000_000).alias("h"),
         )
         .withColumn("rk", F.row_number().over(w))
+        .join(ws_ids, "doc_id", "left")
         .select(
             "doc_id",
             "split",
@@ -299,6 +308,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("cap_rank"),
+            F.coalesce(F.col("_ws"), F.lit(False)).alias("wsample_kept"),
         )
     )
 
@@ -306,10 +316,12 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_ASSEMBLY = f"""
     SELECT s.doc_id, s.split,
            (m.doc_id IS NOT NULL) AS sample_kept,
-           CAST(coalesce(c.rk, 0) AS BIGINT) AS cap_rank
+           CAST(coalesce(c.rk, 0) AS BIGINT) AS cap_rank,
+           (ws.doc_id IS NOT NULL) AS wsample_kept
     FROM ({SQL_TRAIN_TEST_SPLIT}) s
     LEFT JOIN ({SQL_STRATIFIED_SAMPLE}) m USING (doc_id)
     LEFT JOIN ({SQL_DOMAIN_CAP}) c USING (doc_id)
+    LEFT JOIN ({SQL_WEIGHTED_SAMPLE}) ws USING (doc_id)
 """
 
 

@@ -446,3 +446,88 @@ def test_incremental_dedup_equals_restricted_full(spark):
     assert got.count() > 0  # non-vacuous at sf0.001
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cms_heavy_hitters_invariants(spark):
+    """CMS guarantees: the estimate is ONE-SIDED (est >= exact, since a
+    cell only ever gains collisions) and equals the exact count when no
+    other gram shares all four cells. Also pins the candidate set to
+    the exact top-k census (same grams, same counts as q_ngram_topk)."""
+    from pdf_parser_spark.dataops import (
+        NGRAM_TOPK_CORPUS,
+        q_cms_heavy_hitters,
+        q_ngram_topk,
+    )
+
+    hh = q_cms_heavy_hitters(spark, SF_DIR).toPandas()
+    assert len(hh) == NGRAM_TOPK_CORPUS
+    assert (hh["est_freq"] >= hh["doc_freq"]).all()
+    assert (hh["overest"] == hh["est_freq"] - hh["doc_freq"]).all()
+    census = q_ngram_topk(spark, SF_DIR).toPandas()
+    assert set(zip(hh["gram"], hh["doc_freq"])) == set(
+        zip(census["gram"], census["doc_freq"])
+    )
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """The whole point of the sketch at 100 TB: cells built over two
+    disjoint halves of the corpus ADD to the global cells — count-min
+    state merges by elementwise sum, so per-partition sketches combine
+    without revisiting data."""
+    from pdf_parser_spark.dataops import (
+        CMS_DEPTH,
+        _cms_bucket,
+        _doc_hash_bucket,
+        _docs,
+        _ngrams_col,
+        _tokens_col,
+    )
+
+    def cells_of(docs):
+        grams = docs.withColumn("toks", _tokens_col()).select(
+            F.explode(_ngrams_col(F.col("toks"), 2)).alias("gram")
+        )
+        buckets = F.array(*[_cms_bucket(i) for i in range(CMS_DEPTH)])
+        return (
+            grams.select(F.posexplode(buckets).alias("r", "b"))
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    docs = _docs(spark, SF_DIR)
+    half = _doc_hash_bucket(2)
+    merged = (
+        cells_of(docs.filter(half == 0))
+        .unionByName(cells_of(docs.filter(half == 1)))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cells_of(docs)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_weighted_sample_is_length_biased_and_deterministic(spark):
+    """Priority sampling must (a) return exactly k rows in descending
+    priority order, (b) be bit-stable run over run (hash u, no rng),
+    and (c) actually bias toward long docs: the sampled docs' mean
+    token count must exceed the corpus mean (weights are token
+    counts)."""
+    from pdf_parser_spark.dataops import (
+        WSAMPLE_K,
+        _docs,
+        _tokens_col,
+        q_weighted_sample,
+    )
+
+    s1 = q_weighted_sample(spark, SF_DIR).toPandas()
+    s2 = q_weighted_sample(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(s1, s2)
+    assert len(s1) == WSAMPLE_K
+    assert (s1["priority"].values[:-1] >= s1["priority"].values[1:]).all()
+    corpus_mean = (
+        _docs(spark, SF_DIR)
+        .select(F.avg(F.size(_tokens_col())).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert s1["n_toks"].mean() > corpus_mean
