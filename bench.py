@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_rollup",
     "kmv_distinct_users",
+    "hist_quantiles",
     "minhash_near_dup",
     "dup_clusters",
     "simhash_dedup",

@@ -1261,6 +1261,152 @@ SQL_KMV_DISTINCT_USERS = f"""
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantile sketch: fixed-bound equi-width bins, mergeable
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64  # power of two: the /64 width division is an exact exponent shift
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event type: a HIST_BINS-bucket
+    equi-width histogram over ``value`` (bounds from one cheap exact
+    min/max aggregate), with p50/p90/p99 read back by linear
+    interpolation inside the first bucket whose running count crosses
+    q*n. Completes the sketch family (KMV = distinct, CMS = frequency,
+    this = quantiles); the selected bin is the one containing the
+    rank-ceil(q*n) order statistic, so the estimate is within one
+    bin_width of that type-1 quantile by construction —
+    test_hist_quantile_error_bound pins it (the INTERPOLATED
+    percentile() can sit farther away when the tail is sparse; the
+    suite reports both side by side).
+
+    Scale: exact percentile() needs the per-group value multiset on
+    one reducer (O(n) state); the histogram is <= HIST_BINS counters
+    per group, partial-aggregated map-side, and histograms over
+    disjoint splits ADD cell-wise given the shared bounds (the merge
+    test). Cross-engine determinism: bucketing and interpolation use
+    only IEEE-exact ops (+ - * / floor), never libm; the width
+    division by 64 is an exponent shift, exact for any bounds. The
+    per-type stats/cum tables are |event types| * HIST_BINS rows —
+    true dimension tables; joins are left to AQE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("width", (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS)))
+    )
+    binned = ev.join(stats, "event_type").withColumn(
+        "bin",
+        F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.col("vmin")) / F.col("width")).cast(
+                        "int"
+                    ),
+                ),
+            )
+        ),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    )
+    sel = (
+        cum.join(stats.select("event_type", "n"), "event_type")
+        .crossJoin(qs)
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        sel.join(cum, ["event_type", "bin"])
+        .join(stats, "event_type")
+        .withColumn(
+            "e",
+            F.col("vmin")
+            + F.col("width")
+            * (
+                F.col("bin")
+                + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+            ),
+        )
+    )
+    pick = lambda q: F.round(  # noqa: E731
+        F.max(F.when(F.col("q") == F.lit(q), F.col("e"))), 4
+    )
+    return (
+        est.groupBy("event_type", "n", "width")
+        .agg(
+            pick(0.5).alias("est_p50"),
+            pick(0.9).alias("est_p90"),
+            pick(0.99).alias("est_p99"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("width", 6).alias("bin_width"),
+            "est_p50",
+            "est_p90",
+            "est_p99",
+        )
+    )
+
+
+SQL_HIST_QUANTILES = f"""
+    WITH s AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+               count(*) AS n,
+               (max(value) - min(value)) / CAST({HIST_BINS} AS DOUBLE) AS width
+        FROM events GROUP BY event_type
+    ),
+    b AS (
+        SELECT e.event_type,
+               CASE WHEN s.width = 0 THEN 0
+                    ELSE least({HIST_BINS - 1}, greatest(0,
+                         CAST(floor((e.value - s.vmin) / s.width) AS INT))) END AS bin
+        FROM events e JOIN s USING (event_type)
+    ),
+    h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+    c AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM h
+    ),
+    qs AS (SELECT CAST(unnest([{', '.join(str(q) for q in HIST_QS)}]) AS DOUBLE) AS q),
+    sel AS (
+        SELECT c.event_type, qs.q, min(c.bin) AS bin
+        FROM c JOIN s USING (event_type) CROSS JOIN qs
+        WHERE c.cum >= qs.q * s.n
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT sel.event_type, sel.q,
+               s.vmin + s.width * (sel.bin
+                   + (sel.q * s.n - (c.cum - c.cnt)) / c.cnt) AS e
+        FROM sel
+        JOIN c ON c.event_type = sel.event_type AND c.bin = sel.bin
+        JOIN s ON s.event_type = sel.event_type
+    )
+    SELECT s.event_type, s.n, round(s.width, 6) AS bin_width,
+           round(max(CASE WHEN q = 0.5 THEN e END), 4) AS est_p50,
+           round(max(CASE WHEN q = 0.9 THEN e END), 4) AS est_p90,
+           round(max(CASE WHEN q = 0.99 THEN e END), 4) AS est_p99
+    FROM est JOIN s USING (event_type)
+    GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprint: Rabin-Karp rolling hash + minimum sampling
 # ---------------------------------------------------------------------------
 
@@ -2851,6 +2997,7 @@ DATAOPS_QUERIES = {
     "dedup_accuracy": q_dedup_accuracy,
     "incremental_dedup": q_incremental_dedup,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "hist_quantiles": q_hist_quantiles,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
     "contamination_check": q_contamination_check,
@@ -2887,6 +3034,7 @@ DATAOPS_ORACLES = {
     "dedup_accuracy": _sql_dedup_accuracy(),
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "hist_quantiles": SQL_HIST_QUANTILES,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "contamination_check": SQL_CONTAMINATION_CHECK,

@@ -45,6 +45,7 @@ from .dataops import (
     SQL_DOC_FINGERPRINT,
     SQL_DOMAIN_CAP,
     SQL_EVENTS_PIVOT,
+    SQL_HIST_QUANTILES,
     SQL_KMV_DISTINCT_USERS,
     SQL_LANG_ID,
     SQL_STRATIFIED_SAMPLE,
@@ -60,6 +61,7 @@ from .dataops import (
     _shingles_col,
     _sql_doc_winnow_fingerprint,
     _tokens_col,
+    q_hist_quantiles,
     q_kmv_distinct_users,
     q_weighted_sample,
     winnow_frame,
@@ -427,13 +429,14 @@ SQL_ROLLUP_SUITE = f"""
 
 def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type statistics suite: exact quantiles, JSON-prop
-    aggregates (typed from_json, JVM-side), and the KMV distinct-count
-    sketch with its exact control. The quantile and JSON members share
+    aggregates (typed from_json, JVM-side), the KMV distinct-count
+    sketch with its exact control, and the histogram quantile sketch
+    beside its exact percentiles. The quantile and JSON members share
     the groupBy(event_type) grain, so they fuse into ONE scan + ONE
-    aggregate here; only the KMV sketch keeps its own pass (its
-    per-(event_type, user_id) pre-aggregation is a different grain)
-    and joins back on the 5-row event_type result — AQE broadcasts
-    it. Oracle = the three members' SQL joined."""
+    aggregate here; the KMV and histogram sketches keep their own
+    passes (different pre-aggregation grains) and join back on the
+    5-row event_type result — AQE broadcasts them. Oracle = the four
+    members' SQL joined."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.from_json("props", "k BIGINT")["k"]
     fused = (
@@ -449,7 +452,8 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kmv = q_kmv_distinct_users(spark, sf_dir)
-    return fused.join(kmv, "event_type").select(
+    hq = q_hist_quantiles(spark, sf_dir).drop("n")
+    return fused.join(kmv, "event_type").join(hq, "event_type").select(
         "event_type",
         "p50",
         "p90",
@@ -460,16 +464,22 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmv_estimate",
         "exact_distinct",
         "min_hash",
+        "bin_width",
+        "est_p50",
+        "est_p90",
+        "est_p99",
     )
 
 
 SQL_EVENTS_TYPE_STATS = f"""
     SELECT q.event_type, q.p50, q.p90, q.p99,
            CAST(j.n_with_k AS BIGINT) AS n_with_k, j.sum_k, j.avg_k,
-           k.kmv_estimate, k.exact_distinct, k.min_hash
+           k.kmv_estimate, k.exact_distinct, k.min_hash,
+           hq.bin_width, hq.est_p50, hq.est_p90, hq.est_p99
     FROM ({ORACLES["value_quantiles"]}) q
     JOIN ({ORACLES["json_props_stats"]}) j USING (event_type)
     JOIN ({SQL_KMV_DISTINCT_USERS}) k USING (event_type)
+    JOIN ({SQL_HIST_QUANTILES}) hq USING (event_type)
 """
 
 

@@ -531,3 +531,76 @@ def test_weighted_sample_is_length_biased_and_deterministic(spark):
         .collect()[0]["m"]
     )
     assert s1["n_toks"].mean() > corpus_mean
+
+
+def test_hist_quantile_error_bound_and_range(spark):
+    """The estimate lies in the first bin whose running count crosses
+    q*n — the bin that contains the rank-ceil(q*n) order statistic
+    (the type-1 quantile) — so |est - that order stat| <= bin_width,
+    and every estimate stays inside [vmin, vmax]. (The INTERPOLATED
+    percentile() carries no such per-bin bound on sparse tails, which
+    is why the suite reports both.)"""
+    import math
+
+    from pdf_parser_spark.dataops import q_hist_quantiles
+
+    hq = q_hist_quantiles(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    by_type = (
+        ev.select("event_type", "value").toPandas().groupby("event_type")["value"]
+    )
+    for et, vals in by_type:
+        vals = vals.sort_values().reset_index(drop=True)
+        n, w = len(vals), hq.loc[et, "bin_width"]
+        for q in (0.5, 0.9, 0.99):
+            est = hq.loc[et, f"est_p{int(q * 100)}"]
+            order_stat = vals.iloc[math.ceil(q * n) - 1]
+            assert abs(est - order_stat) <= w + 1e-9, (et, q)
+            assert vals.iloc[0] - 1e-9 <= est <= vals.iloc[-1] + 1e-9
+
+
+def test_hist_sketch_is_mergeable(spark):
+    """Histogram cells over disjoint user halves ADD to the global
+    cells given shared bounds — the property that lets per-partition
+    sketches combine without a second data pass."""
+    from pdf_parser_spark.dataops import HIST_BINS
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .withColumn(
+            "width", (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS))
+        )
+    )
+
+    def cells_of(part):
+        return (
+            part.join(stats, "event_type")
+            .withColumn(
+                "bin",
+                F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+                    F.least(
+                        F.lit(HIST_BINS - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col("value") - F.col("vmin")) / F.col("width")
+                            ).cast("int"),
+                        ),
+                    )
+                ),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    merged = (
+        cells_of(ev.filter(F.col("user_id") % 2 == 0))
+        .unionByName(cells_of(ev.filter(F.col("user_id") % 2 == 1)))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cells_of(ev)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
