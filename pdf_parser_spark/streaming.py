@@ -248,3 +248,24 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_cells(transcripts: DataFrame) -> DataFrame:
+    """Bounded-state streaming count-min sketch: CMS cells over the
+    bigram stream of arriving turn text (same hash rows as the batch
+    ``q_cms_heavy_hitters``, so batch and stream sketches merge by
+    cell-wise sum). A streaming word/ngram count keeps O(vocabulary)
+    state — unbounded on an open stream; this aggregation's state is
+    capped at CMS_DEPTH x CMS_WIDTH rows TOTAL forever, while still
+    answering frequency estimates one-sidedly (est >= true). Run it in
+    update/complete mode; heavy-hitter candidates come from a separate
+    sampled pass, as in the batch op's docstring."""
+    from .dataops import CMS_DEPTH, _cms_bucket, _ngrams_col, _tokens_col
+
+    grams = transcripts.select(F.explode(_ngrams_col(_tokens_col(), 2)).alias("gram"))
+    buckets = F.array(*[_cms_bucket(i) for i in range(CMS_DEPTH)])
+    return (
+        grams.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -237,3 +237,30 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
         ), f"session mismatch for {r}"
     # nearly all sessions closed (corpus spans ~30 days vs 1h watermark)
     assert len(streamed) >= 0.9 * len(batch)
+
+
+def test_stream_cms_matches_batch_sketch(spark, input_dir, tmp_path):
+    """The streaming CMS cells (complete mode, state capped at
+    DEPTH x WIDTH rows) must equal the batch sketch over the same
+    data — the merge-by-sum property makes microbatch accumulation
+    exact, not approximate, at the cell level."""
+    from pdf_parser_spark.streaming import stream_cms_cells, stream_transcripts
+
+    q = (
+        stream_cms_cells(stream_transcripts(spark, input_dir))
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_cells").collect()
+    }
+    batch = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in stream_cms_cells(spark.read.parquet(input_dir)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
