@@ -427,7 +427,7 @@ GATE_ORDER: list[str] = [
     "cms_heavy_hitters",
     "sequence_pack",
     # ML / multimodal
-    "embedding_kmeans",
+    "embedding_suite",
     "multimodal_suite",
     # events / windows / joins
     "events_asof_join",

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "token_count",
     "corpus_filter",
     "embedding_kmeans",
+    "embedding_pca1",
     "text_quality",
     "lang_id",
     "contamination_check",

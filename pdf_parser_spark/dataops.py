@@ -1881,6 +1881,216 @@ SQL_EMBEDDING_KMEANS = f"""
 
 
 # ---------------------------------------------------------------------------
+# PCA (top principal component) by deterministic power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 4
+PCA_SQUARINGS = 5  # power iteration runs on C^(2^5): 4 steps ~ 128 plain steps
+PCA_QUANT = 1000  # embedding quantization step for the exact integer moments
+
+
+def q_embedding_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the top principal component of the
+    embedding table, estimated by power iteration ACCELERATED by
+    repeated matrix squaring — the whitening/decorrelation primitive
+    embedding pipelines run before dedup or indexing (cf.
+    q_embedding_near_dup, ANN). The synthetic corpus is nearly
+    isotropic (top eigengap ~1.07), where plain k-step iteration
+    converges as 1.07^-k; squaring the 64x64 covariance
+    PCA_SQUARINGS times first makes PCA_ITERS steps equivalent to
+    PCA_ITERS * 2^PCA_SQUARINGS plain steps (cosine vs numpy's exact
+    PC1: 1.000 at sf0.001, 0.96 at sf0.01 — pinned in
+    test_pca1_projection_tracks_true_top_component). Each squaring is
+    a 64x64 matmul on dim-ordered row arrays (the matrix stays
+    symmetric, so rows are columns), rescaled by max|cell| to keep
+    doubles bounded — max is order-independent, so rescaling preserves
+    cross-engine determinism.
+
+    Determinism across engines is the hard part, solved in two moves:
+    (1) the covariance inputs are EXACT integers — embeddings quantize
+    to round(x*1000), so the second-moment matrix M and mean vector m
+    are BIGINT sums, immune to float summation-order differences
+    across partitions/engines; C_ij = M_ij/n - (m_i/n)(m_j/n) then
+    uses only exactly-rounded double ops. (2) every float reduction in
+    the iteration (matvec, norm, projection) is an ORDERED left fold
+    over a dim-sorted array (F.aggregate / list_reduce), never a
+    groupBy sum over doubles.
+
+    Scale: the moment pass is the only corpus-wide work — per-row it
+    emits EMB_DIM^2 products that partial-aggregate map-side into a
+    fixed 64x64+64 cell state (mergeable, like the sketches); at
+    production dims replace the pair-explode with a per-partition
+    outer-product accumulator in mapInPandas — the aggregate state is
+    the same. The iteration itself touches only the 64-row C table,
+    and the projection pass is one broadcast of the 1-row direction
+    against a narrow scan."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * PCA_QUANT).cast("bigint"),
+        ).alias("q"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cells = (
+        e.select(F.posexplode("q").alias("i", "qi"), "q")
+        .select("i", "qi", F.posexplode("q").alias("j", "qj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("mij"))
+    )
+    means = e.select(F.posexplode("q").alias("i", "qi")).groupBy("i").agg(
+        F.sum("qi").alias("mi")
+    )
+    n = e.count()  # tiny scalar job; at scale, read from table stats
+    # C rows as dim-ordered arrays: (i, c = [C_i0 .. C_i63])
+    crows = (
+        cells.join(means.select(F.col("i").alias("j"), F.col("mi").alias("mj")), "j")
+        .join(means, "i")
+        .withColumn(
+            "cij",
+            F.col("mij") / F.lit(float(n))
+            - (F.col("mi") / F.lit(float(n))) * (F.col("mj") / F.lit(float(n))),
+        )
+        .groupBy("i")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cij"))), lambda s: s["cij"]
+            ).alias("c")
+        )
+    )
+    # accelerate: square the (symmetric) matrix PCA_SQUARINGS times,
+    # rescaling by max|cell| each round to keep doubles bounded
+    def _msq(rows: DataFrame) -> DataFrame:
+        a = rows.select(F.col("i").alias("ai"), F.col("c").alias("ca"))
+        b = rows.select(F.col("i").alias("bj"), F.col("c").alias("cb"))
+        sq = a.crossJoin(b).select(
+            "ai", "bj", _dot(F.col("ca"), F.col("cb")).alias("x")
+        )
+        mx = sq.groupBy().agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        return (
+            sq.crossJoin(mx)
+            .select("ai", "bj", (F.col("x") / F.col("mx")).alias("cij"))
+            .groupBy("ai")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("bj").alias("j"), F.col("cij")))
+                    ),
+                    lambda s: s["cij"],
+                ).alias("c")
+            )
+            .select(F.col("ai").alias("i"), "c")
+        )
+
+    # each squaring reads its input TWICE (rows as both matmul sides),
+    # so without truncation the unrolled lineage doubles per round —
+    # 2^PCA_SQUARINGS plan copies. The matrix is 64 rows: checkpoint it
+    # eagerly each round (same idiom as connected_components).
+    for _ in range(PCA_SQUARINGS):
+        crows = _msq(crows.localCheckpoint(eager=True))
+    # v0 = 1/sqrt(EMB_DIM) in every dim (exact: EMB_DIM is a power of 4)
+    vdf = spark.range(1).select(
+        F.array_repeat(F.lit(1.0 / (EMB_DIM**0.5)), EMB_DIM).alias("pc")
+    )
+    for _ in range(PCA_ITERS):
+        w = crows.crossJoin(vdf).select("i", _dot(F.col("c"), F.col("pc")).alias("wi"))
+        vdf = w.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "wi"))), lambda s: s["wi"]
+            ).alias("w")
+        ).select(
+            F.transform(
+                F.col("w"), lambda x: x / F.sqrt(_dot(F.col("w"), F.col("w")))
+            ).alias("pc")
+        )
+    return (
+        e.crossJoin(F.broadcast(vdf))  # 1-row direction: a true bound
+        .select("vec_id", F.round(_dot(F.col("v"), F.col("pc")), 4).alias("pc1_proj"))
+    )
+
+
+def _sql_embedding_pca1() -> str:
+    """Oracle mirror: identical quantized moments, identical ordered
+    folds (list_reduce is a left fold, as F.aggregate with 0.0 init),
+    squarings and iterations unrolled as chained CTEs."""
+    dot = (
+        "list_reduce(list_transform(range(1, {d} + 1), k -> {a}[k] * {b}[k]), "
+        "(x, y) -> x + y)"
+    )
+    # MATERIALIZED: each m{t} is read twice by the next squaring —
+    # inlining would copy the whole upstream 2^PCA_SQUARINGS times
+    sq_cte = """,
+    sq{t} AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, {dot_ab} AS x
+        FROM m{p} a CROSS JOIN m{p} b
+    ),
+    mx{t} AS (SELECT max(abs(x)) AS mx FROM sq{t}),
+    m{t} AS MATERIALIZED (
+        SELECT i, list(x / mx ORDER BY j) AS c
+        FROM sq{t} CROSS JOIN mx{t} GROUP BY i
+    )"""
+    squarings = "".join(
+        sq_cte.format(t=t, p=t - 1, dot_ab=dot.format(d=EMB_DIM, a="a.c", b="b.c"))
+        for t in range(1, PCA_SQUARINGS + 1)
+    )
+    it_cte = """,
+    w{t} AS (
+        SELECT i, {dot_c_v} AS wi FROM m{s} CROSS JOIN v{p}
+    ),
+    warr{t} AS (SELECT list(wi ORDER BY i) AS w FROM w{t}),
+    v{t} AS (
+        SELECT list_transform(w, x -> x / sqrt({dot_w_w})) AS pc FROM warr{t}
+    )"""
+    iters = "".join(
+        it_cte.format(
+            t=t,
+            p=t - 1,
+            s=PCA_SQUARINGS,
+            dot_c_v=dot.format(d=EMB_DIM, a="c", b="pc"),
+            dot_w_w=dot.format(d=EMB_DIM, a="w", b="w"),
+        )
+        for t in range(1, PCA_ITERS + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {PCA_QUANT}, 0) AS BIGINT)) AS q,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    cells AS (
+        SELECT ti.i, tj.i AS j, sum(q[ti.i] * q[tj.i]) AS mij
+        FROM e, range(1, {EMB_DIM + 1}) ti(i), range(1, {EMB_DIM + 1}) tj(i)
+        GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT t.i, sum(q[t.i]) AS mi
+        FROM e, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1
+    ),
+    m0 AS MATERIALIZED (
+        SELECT cells.i,
+               list(cells.mij / nrow.n - (mi.mi / nrow.n) * (mj.mi / nrow.n)
+                    ORDER BY cells.j) AS c
+        FROM cells
+        JOIN means mi ON mi.i = cells.i
+        JOIN means mj ON mj.i = cells.j
+        CROSS JOIN nrow
+        GROUP BY cells.i
+    ){squarings},
+    v0 AS (SELECT list_transform(range(1, {EMB_DIM + 1}),
+                                 k -> 1.0 / sqrt({EMB_DIM}.0)) AS pc){iters}
+    SELECT e.vec_id,
+           round({dot.format(d=EMB_DIM, a="v", b="pc")}, 4) AS pc1_proj
+    FROM e CROSS JOIN v{PCA_ITERS}
+"""
+
+
+SQL_EMBEDDING_PCA1 = _sql_embedding_pca1()
+
+
+# ---------------------------------------------------------------------------
 # Composite: the end-to-end training-data cleaning pipeline
 # ---------------------------------------------------------------------------
 
@@ -3000,6 +3210,7 @@ DATAOPS_QUERIES = {
     "hist_quantiles": q_hist_quantiles,
     "corpus_filter": q_corpus_filter,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_pca1": q_embedding_pca1,
     "contamination_check": q_contamination_check,
     "span_dedup": q_span_dedup,
     "events_pivot": q_events_pivot,
@@ -3037,6 +3248,7 @@ DATAOPS_ORACLES = {
     "hist_quantiles": SQL_HIST_QUANTILES,
     "corpus_filter": SQL_CORPUS_FILTER,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "embedding_pca1": SQL_EMBEDDING_PCA1,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "span_dedup": SQL_SPAN_DEDUP,
     "events_pivot": SQL_EVENTS_PIVOT,

@@ -61,6 +61,8 @@ from .dataops import (
     _shingles_col,
     _sql_doc_winnow_fingerprint,
     _tokens_col,
+    q_embedding_kmeans,
+    q_embedding_pca1,
     q_hist_quantiles,
     q_kmv_distinct_users,
     q_weighted_sample,
@@ -782,6 +784,27 @@ SQL_NEARDUP_PAIRS_SUITE = f"""
 
 
 # events_pivot stays a standalone key (unique per-user wide-count grain)
+def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding-analysis suite: the k-means cluster
+    assignment (2 unrolled Lloyd iterations) joined on vec_id with the
+    PC1 projection (4 unrolled power-iteration steps over the
+    quantized-integer covariance). Both members keep their own passes
+    — their aggregation grains differ — and join on the narrow
+    (vec_id) result. Oracle = the members' SQL joined."""
+    km = q_embedding_kmeans(spark, sf_dir)
+    pca = q_embedding_pca1(spark, sf_dir)
+    return km.join(pca, "vec_id").select(
+        "vec_id", "cluster", "cosine", "pc1_proj"
+    )
+
+
+SQL_EMBEDDING_SUITE = f"""
+    SELECT km.vec_id, km.cluster, km.cosine, p.pc1_proj
+    FROM ({DATAOPS_ORACLES["embedding_kmeans"]}) km
+    JOIN ({DATAOPS_ORACLES["embedding_pca1"]}) p USING (vec_id)
+"""
+
+
 SQL_EVENTS_PIVOT_SUITE = SQL_EVENTS_PIVOT  # re-export for registry symmetry
 
 
@@ -799,6 +822,7 @@ SUITE_QUERIES = {
     "scd2_suite": q_scd2_suite,
     "keyword_rank_suite": q_keyword_rank_suite,
     "neardup_pairs_suite": q_neardup_pairs_suite,
+    "embedding_suite": q_embedding_suite,
 }
 
 SUITE_ORACLES = {
@@ -815,4 +839,5 @@ SUITE_ORACLES = {
     "scd2_suite": SQL_SCD2_SUITE,
     "keyword_rank_suite": SQL_KEYWORD_RANK_SUITE,
     "neardup_pairs_suite": SQL_NEARDUP_PAIRS_SUITE,
+    "embedding_suite": SQL_EMBEDDING_SUITE,
 }

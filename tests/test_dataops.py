@@ -604,3 +604,28 @@ def test_hist_sketch_is_mergeable(spark):
     full = cells_of(ev)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_pca1_projection_tracks_true_top_component(spark):
+    """Four power-iteration steps over the quantized covariance must
+    land near the true top principal component: the per-vector
+    projections correlate with numpy's exact PC1 projections at
+    |corr| >= 0.95 (sign is iteration-dependent, hence abs), and the
+    op is deterministic by construction (hash-free, rng-free)."""
+    import numpy as np
+
+    from pdf_parser_spark.dataops import PCA_QUANT, q_embedding_pca1
+
+    proj = (
+        q_embedding_pca1(spark, SF_DIR).toPandas().set_index("vec_id")["pc1_proj"]
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Q = np.round(X * PCA_QUANT)
+    C = (Q.T @ Q) / len(Q) - np.outer(Q.mean(axis=0), Q.mean(axis=0))
+    eigvals, eigvecs = np.linalg.eigh(C)
+    pc1 = eigvecs[:, -1]
+    true_proj = X @ pc1
+    got = proj.loc[emb["vec_id"]].to_numpy()
+    corr = np.corrcoef(got, true_proj)[0, 1]
+    assert abs(corr) >= 0.95, corr
