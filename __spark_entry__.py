@@ -432,7 +432,7 @@ GATE_ORDER: list[str] = [
     # events / windows / joins
     "events_asof_join",
     "events_range_join",
-    "events_pivot",
+    "events_unpivot",
     "rollup_suite",
     "events_type_stats",
     "window_suite",

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "span_dedup",
     "events_pivot",
+    "events_unpivot",
     "set_ops",
     "value_quantiles",
     "json_props_stats",

@@ -2396,6 +2396,31 @@ SQL_EVENTS_PIVOT = """
 """
 
 
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) of the pivoted per-user counts — the
+    reshape inverse, via the native DataFrame.unpivot (STACK codegen:
+    each wide row fans to |values| long rows inside the projection, no
+    extra shuffle beyond the pivot's own). Zero cells are dropped so
+    the round trip lands exactly on groupBy(user, type).count() —
+    tested in test_pivot_unpivot_round_trip; as a gate key this
+    value-checks the pivot AND the melt composed."""
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(PIVOT_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n") > 0)
+
+
+SQL_EVENTS_UNPIVOT = f"""
+    SELECT user_id, event_type, n
+    FROM (UNPIVOT ({SQL_EVENTS_PIVOT}) ON click, error, purchase, signup, view
+          INTO NAME event_type VALUE n)
+    WHERE n > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Repetition scoring (Gopher-style repetition rules over token/bigram
 # frequency: C4/Gopher drop documents dominated by one token or one
@@ -3214,6 +3239,7 @@ DATAOPS_QUERIES = {
     "contamination_check": q_contamination_check,
     "span_dedup": q_span_dedup,
     "events_pivot": q_events_pivot,
+    "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
     "pii_scrub": q_pii_scrub,
     "train_test_split": q_train_test_split,
@@ -3252,6 +3278,7 @@ DATAOPS_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "span_dedup": SQL_SPAN_DEDUP,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
     "pii_scrub": SQL_PII_SCRUB,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,

@@ -629,3 +629,19 @@ def test_pca1_projection_tracks_true_top_component(spark):
     got = proj.loc[emb["vec_id"]].to_numpy()
     corr = np.corrcoef(got, true_proj)[0, 1]
     assert abs(corr) >= 0.95, corr
+
+
+def test_pivot_unpivot_round_trip(spark):
+    """unpivot(pivot(events)) with zero cells dropped must equal the
+    original long-form groupBy(user, type) counts exactly — the
+    reshape pair is lossless over present combinations."""
+    from pdf_parser_spark.dataops import q_events_unpivot
+
+    got = q_events_unpivot(spark, SF_DIR)
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
