@@ -1291,6 +1291,10 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type stats/cum tables are |event types| * HIST_BINS rows —
     true dimension tables; joins are left to AQE."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # stats and cum are |event types| x HIST_BINS-bounded but feed
+    # MULTIPLE consumers below — checkpoint them eagerly so the plan
+    # scans events exactly twice (bounds pass + bin pass), not once
+    # per consumer subtree
     stats = (
         ev.groupBy("event_type")
         .agg(
@@ -1299,7 +1303,7 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .withColumn("width", (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS)))
-    )
+    ).localCheckpoint(eager=True)
     binned = ev.join(stats, "event_type").withColumn(
         "bin",
         F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
@@ -1316,7 +1320,7 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("event_type").orderBy("bin")
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(eager=True)
     qs = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
     )
