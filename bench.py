@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "pii_scrub",
     "rollup_agg",
+    "cube_agg",
     "tpch_q4",
     "tpch_q18",
     "train_test_split",

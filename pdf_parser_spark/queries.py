@@ -553,6 +553,31 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE surface: the rollup's grouping sets plus the
+    segment-only marginal — all four levels ((nation, segment),
+    (nation), (segment), ()) in ONE pass; like the rollup, the Expand
+    operator replicates rows map-side so the cube still costs exactly
+    one shuffle, not four jobs."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): orders in one quarter
     that have at least one returned line, counted per priority. The
@@ -1004,6 +1029,14 @@ ORACLES: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP (n_name, c_mktsegment)
     """,
+    "cube_agg": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, c_mktsegment)
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -1112,6 +1145,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "events_tumbling": q_events_tumbling,
     "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
     "tpch_q4": q_tpch_q4,
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,

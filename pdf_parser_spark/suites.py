@@ -87,6 +87,7 @@ from .queries import (
     q_events_rollup,
     q_latest_per_key,
     q_scd2_intervals,
+    q_cube_agg,
     q_events_tumbling,
     q_rollup_agg,
     q_sessionize_events,
@@ -380,9 +381,10 @@ SQL_WINDOW_SUITE = f"""
 def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP / tumbling-window aggregation surface as one
     tagged union: day->month->total time rollup over events, the
-    (nation, segment) dimension rollup, and epoch-aligned 1-hour
-    tumbling windows. Each member is a single-shuffle grouping
-    aggregate (the ROLLUPs expand grouping sets map-side)."""
+    (nation, segment) dimension rollup AND full cube (adds the
+    segment-only marginal), and epoch-aligned 1-hour tumbling windows.
+    Each member is a single-shuffle grouping aggregate (the
+    ROLLUP/CUBE grouping sets expand map-side)."""
     time_r = q_events_rollup(spark, sf_dir).select(
         F.lit("time_rollup").alias("part"),
         F.coalesce("month", F.lit("ALL")).alias("k1"),
@@ -397,6 +399,13 @@ def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_customers").cast("long").alias("n"),
         F.col("total_acctbal").alias("v"),
     )
+    dim_c = q_cube_agg(spark, sf_dir).select(
+        F.lit("dim_cube").alias("part"),
+        F.col("nation").alias("k1"),
+        F.col("segment").alias("k2"),
+        F.col("n_customers").cast("long").alias("n"),
+        F.col("total_acctbal").alias("v"),
+    )
     tumb = q_events_tumbling(spark, sf_dir).select(
         F.lit("tumbling").alias("part"),
         F.col("window_start").alias("k1"),
@@ -404,7 +413,7 @@ def q_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n"),
         F.col("sum_value").alias("v"),
     )
-    return time_r.unionByName(dim_r).unionByName(tumb)
+    return time_r.unionByName(dim_r).unionByName(dim_c).unionByName(tumb)
 
 
 SQL_ROLLUP_SUITE = f"""
@@ -416,6 +425,10 @@ SQL_ROLLUP_SUITE = f"""
     SELECT 'dim_rollup', nation, segment, CAST(n_customers AS BIGINT),
            total_acctbal
     FROM ({ORACLES["rollup_agg"]})
+    UNION ALL
+    SELECT 'dim_cube', nation, segment, CAST(n_customers AS BIGINT),
+           total_acctbal
+    FROM ({ORACLES["cube_agg"]})
     UNION ALL
     SELECT 'tumbling', window_start, event_type, CAST(n_events AS BIGINT),
            sum_value
