@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "r9_enrichment_join",
     "window_running_total",
     "sessionize_events",
+    "funnel_stages",
     "events_asof_join",
     "events_range_join",
     "events_rollup",

@@ -578,6 +578,56 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern (funnel) analysis: per user, the earliest
+    view, the earliest click strictly AFTER that view, and the
+    earliest purchase strictly after that click — the ordered
+    conversion chain a product-analytics engine answers with
+    MATCH_RECOGNIZE, composed here from per-stage min-aggregates and
+    co-partitioned joins (each stage filters the stream BEFORE its
+    shuffle, so stage k moves only users who survived stage k-1).
+    Users with no view are out of the funnel by definition.
+    stage_reached is 1 (view), 2 (+click), 3 (+purchase)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("stage_reached"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): orders in one quarter
     that have at least one returned line, counted per priority. The
@@ -1037,6 +1087,30 @@ ORACLES: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY CUBE (n_name, c_mktsegment)
     """,
+    "funnel_stages": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               CAST(1 + (c.t_click IS NOT NULL)::INT
+                      + (p.t_purchase IS NOT NULL)::INT AS BIGINT)
+                   AS stage_reached,
+               v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
     "tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -1146,6 +1220,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
+    "funnel_stages": q_funnel_stages,
     "tpch_q4": q_tpch_q4,
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,

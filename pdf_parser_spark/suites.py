@@ -90,6 +90,7 @@ from .queries import (
     q_cube_agg,
     q_events_tumbling,
     q_rollup_agg,
+    q_funnel_stages,
     q_sessionize_events,
     q_tpch_q4,
     q_tpch_q6,
@@ -338,9 +339,12 @@ SQL_CORPUS_ASSEMBLY = f"""
 
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface in one result: per-event running sum and
-    trailing-10-minute RANGE frame (part='window', k=event_id), plus
-    gap-based sessionization aggregates (part='session', k=session_id).
-    Each member shuffles once on user_id; see member docstrings."""
+    trailing-10-minute RANGE frame (part='window', k=event_id),
+    gap-based sessionization aggregates (part='session', k=session_id),
+    and the view->click->purchase funnel (part='funnel',
+    k=stage_reached, v1/v2 = epoch seconds of the first view /
+    conversion). Each member shuffles once on user_id; see member
+    docstrings."""
     run = q_window_running_total(spark, sf_dir)
     tr = q_window_trailing(spark, sf_dir)
     wins = run.join(tr, ["user_id", "event_id"]).select(
@@ -357,7 +361,19 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("double").alias("v1"),
         F.col("session_value").alias("v2"),
     )
-    return wins.unionByName(sess)
+    # tz-free epoch micros (NTZ has no double cast; unix_timestamp
+    # would re-interpret through the session zone)
+    us = lambda c: F.expr(  # noqa: E731
+        f"CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}) AS DOUBLE)"
+    )
+    fun = q_funnel_stages(spark, sf_dir).select(
+        F.lit("funnel").alias("part"),
+        "user_id",
+        F.col("stage_reached").alias("k"),
+        us("t_view").alias("v1"),
+        us("t_purchase").alias("v2"),
+    )
+    return wins.unionByName(sess).unionByName(fun)
 
 
 SQL_WINDOW_SUITE = f"""
@@ -369,6 +385,10 @@ SQL_WINDOW_SUITE = f"""
     SELECT 'session', user_id, CAST(session_id AS BIGINT),
            CAST(n_events AS DOUBLE), session_value
     FROM ({ORACLES["sessionize_events"]})
+    UNION ALL
+    SELECT 'funnel', user_id, stage_reached,
+           CAST(epoch_us(t_view) AS DOUBLE), CAST(epoch_us(t_purchase) AS DOUBLE)
+    FROM ({ORACLES["funnel_stages"]})
 """
 
 
