@@ -1,0 +1,100 @@
+"""Physical-plan contracts: the properties BENCH.md's audits describe,
+locked as tests so a regression (a filter no longer reaching the scan,
+a top-k degrading to a global sort, a broadcast flipping to a
+shuffle-both-sides join, an extra exchange sneaking into a reshape)
+fails CI instead of only showing up as a slower bench line.
+
+Assertions read `explain("formatted")` text. They check plan SHAPE,
+not cost numbers, so they are stable across hosts; AQE may re-plan at
+runtime but these initial-plan properties are what Catalyst statically
+guarantees (pushdown, pruning, TakeOrderedAndProject, Expand)."""
+
+import contextlib
+import io
+import re
+
+from pdf_parser_spark.dataops import DATAOPS_QUERIES
+from pdf_parser_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> list[str]:
+    return re.findall(r"^\(\d+\) Exchange", plan, re.M)
+
+
+def test_status_filter_reaches_the_scan(spark):
+    """R4: the predicate must be in PushedFilters (evaluated by the
+    parquet reader, not a post-scan Filter) and the scan must read
+    only the projected columns."""
+    plan = _plan(QUERIES["r4_status_filtered_list"](spark, SF_DIR))
+    assert "EqualTo(event_type,error)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3  # pruned, not SELECT *
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6 is THE pushdown benchmark: range predicates on shipdate /
+    discount / quantity all reach the scan; only the 4 referenced
+    columns are read from the 16-column lineitem."""
+    plan = _plan(QUERIES["tpch_q6"](spark, SF_DIR))
+    for f in ("GreaterThanOrEqual(l_shipdate", "l_discount", "l_quantity"):
+        assert f in plan.split("ReadSchema")[0]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4
+
+
+def test_topk_queries_use_takeordered_not_global_sort(spark):
+    """Every top-k surface must compile to TakeOrderedAndProject
+    (per-task k-row heaps + driver merge), never a global Sort."""
+    for name in ("r2_pagination_topk",):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+    for name in ("ngram_topk", "weighted_sample"):
+        plan = _plan(DATAOPS_QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_enrichment_join_broadcasts_the_dimension(spark):
+    plan = _plan(QUERIES["r9_enrichment_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_adds_no_shuffle_beyond_the_pivot(spark):
+    """The melt is Expand inside the projection: exactly ONE exchange
+    in the whole plan (the pivot's own groupBy)."""
+    plan = _plan(DATAOPS_QUERIES["events_unpivot"](spark, SF_DIR))
+    assert len(_exchanges(plan)) == 1
+    assert re.search(r"^\(\d+\) Expand", plan, re.M)
+
+
+def test_grouping_sets_expand_mapside(spark):
+    """ROLLUP and CUBE stay single-shuffle: one Expand, one Exchange
+    for the grouping aggregate (the broadcast exchange of the nation
+    dim doesn't count — filter to shuffle exchanges only)."""
+    for name in ("rollup_agg", "cube_agg"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert re.search(r"^\(\d+\) Expand", plan, re.M), name
+        shuffle_ex = [
+            line
+            for line in plan.splitlines()
+            if re.match(r"^\(\d+\) Exchange", line)
+        ]
+        assert len(shuffle_ex) == 1, (name, shuffle_ex)
+
+
+def test_cms_estimates_via_broadcast_of_candidates(spark):
+    """The 20-row candidate set must broadcast against the bounded
+    cell table — a shuffle join here would re-shuffle the cells for a
+    20-row probe."""
+    plan = _plan(DATAOPS_QUERIES["cms_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the candidate top-k itself
