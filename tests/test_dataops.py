@@ -645,3 +645,81 @@ def test_pivot_unpivot_round_trip(spark):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_hist_quantiles_degenerate_constant_values(spark):
+    """All-equal values within a type: width = 0, every row lands in
+    bin 0, and all three estimates collapse to exactly that value (the
+    guarded CASE path — an unguarded (v - vmin)/width would be 0/0)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from pdf_parser_spark.dataops import q_hist_quantiles
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i), i % 7, "flat", 42.5, "{}")
+        for i in range(20)
+    ] + [
+        (100 + i, datetime(2024, 1, 1, 1, 0, i), i % 5, "vary", float(i), "{}")
+        for i in range(20)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "events.parquet"))
+        hq = q_hist_quantiles(spark, td).toPandas().set_index("event_type")
+    flat = hq.loc["flat"]
+    assert flat["bin_width"] == 0.0
+    assert flat["est_p50"] == flat["est_p90"] == flat["est_p99"] == 42.5
+    vary = hq.loc["vary"]
+    assert vary["bin_width"] > 0 and vary["est_p50"] < vary["est_p99"]
+
+
+def test_weighted_sample_short_corpus_returns_all(spark):
+    """Fewer docs than WSAMPLE_K: the sample is the whole corpus (no
+    padding, no failure) and still priority-ordered."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.dataops import q_weighted_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["one two three", "a b", "x " * 50],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [13, 3, 100],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_weighted_sample(spark, td).toPandas()
+    assert len(out) == 3
+    assert (out["priority"].values[:-1] >= out["priority"].values[1:]).all()
+
+
+def test_cms_empty_and_short_docs_contribute_nothing(spark):
+    """Docs with <2 tokens emit no bigrams: the sketch over a corpus of
+    only-short docs is empty, and heavy hitters return zero rows
+    rather than erroring."""
+    import os
+    import tempfile
+
+    from pdf_parser_spark.dataops import q_cms_heavy_hitters
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["single", ""],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [6, 0],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_cms_heavy_hitters(spark, td).toPandas()
+    assert len(out) == 0
