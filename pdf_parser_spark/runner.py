@@ -275,8 +275,16 @@ def run_extraction(
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the committed output across bucket dirs — restricted to the
     manifest's bucket ids, so stale dirs from an older layout can never
-    merge into the result."""
+    merge into the result. A compacted run (see compact_output) reads
+    its single rewritten dir instead, iff the copy is complete."""
     manifest = read_manifest(out_dir)
+    cdir = os.path.join(out_dir, COMPACT_DIR)
+    if (
+        manifest is not None
+        and manifest.get("compacted")
+        and os.path.exists(os.path.join(cdir, "_SUCCESS"))
+    ):
+        return spark.read.schema(EXTRACTED_WITH_SEQ_SCHEMA).parquet(cdir)
     if manifest is not None:
         wanted = {f"bucket={b}" for b in range(int(manifest["n_buckets"]))}
         names = [d for d in sorted(os.listdir(out_dir)) if d in wanted]
@@ -287,6 +295,67 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(EXTRACTED_WITH_SEQ_SCHEMA).parquet(
         *[os.path.join(out_dir, d) for d in names]
     )
+
+
+COMPACT_DIR = "_compacted"
+COMPACT_TARGET_BYTES = 128 << 20  # Iceberg's default write target
+
+
+def _parquet_files(d: str) -> list[str]:
+    out = []
+    for root, _dirs, names in os.walk(d):
+        out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    return out
+
+
+def compact_output(
+    spark: SparkSession,
+    out_dir: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    drop_source: bool = False,
+) -> tuple[int, int]:
+    """Small-files compaction of a completed run — the rewrite-data-
+    files maintenance action a long-lived table needs: a 1024-bucket
+    run leaves O(buckets x tasks) parquet files, and scan/open overhead
+    eventually dominates reads. Rewrites the output as
+    ceil(bytes / target_bytes) files hash-clustered on conv_id (so a
+    conversation's turns co-locate for downstream per-conv reads).
+
+    Crash-safe by ordering: the compacted copy is fully written (its
+    _SUCCESS exists) BEFORE the manifest flips ``compacted`` — readers
+    use the intact bucket dirs until then, and a half-written compact
+    dir is simply overwritten by the next attempt. Source bucket dirs
+    are kept unless ``drop_source`` (the manifest flip, not the
+    delete, is the commit point). Returns (files_before, files_after).
+    """
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise ValueError(f"no manifest at {out_dir}: not a completed run")
+    done = completed_buckets(spark, out_dir)
+    if len(done) < int(manifest["n_buckets"]):
+        raise ValueError(
+            f"run at {out_dir} is incomplete ({len(done)}/"
+            f"{manifest['n_buckets']} buckets); compact only after the "
+            "run commits — a partial rewrite would freeze the gap"
+        )
+    bucket_dirs = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("bucket=")
+    ]
+    before = [f for d in bucket_dirs for f in _parquet_files(d)]
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-total // target_bytes))
+    cdir = os.path.join(out_dir, COMPACT_DIR)
+    shutil.rmtree(cdir, ignore_errors=True)  # clear any aborted attempt
+    df = spark.read.schema(EXTRACTED_WITH_SEQ_SCHEMA).parquet(*bucket_dirs)
+    df.repartition(int(n_out), "conv_id").write.mode("overwrite").parquet(cdir)
+    manifest["compacted"] = True
+    _write_manifest(out_dir, manifest)
+    if drop_source:
+        for d in bucket_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return len(before), len(_parquet_files(cdir))
 
 
 def summarize(summary: dict) -> str:

@@ -168,3 +168,35 @@ class TestIncremental:
         assert inc.count() == grown.count()
         assert inc.select("conv_id", "turn_idx").distinct().count() == grown.count()
         assert _text_map(inc) == _text_map(extract_turns(grown))
+
+
+def test_compact_output_equal_rows_fewer_files(spark, transcripts, tmp_path):
+    """Compaction rewrites the bucketed output into ceil(bytes/target)
+    conv-clustered files with IDENTICAL rows; dropping the source
+    bucket dirs after the manifest flip changes nothing for readers."""
+    from pdf_parser_spark.runner import compact_output, run_extraction
+
+    out = str(tmp_path / "compact_run")
+    run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS)
+    before_df = read_extracted(spark, out).collect()
+    n_before, n_after = compact_output(spark, out)
+    assert n_before > n_after == 1  # tiny run -> one target file
+    after = read_extracted(spark, out)
+    assert sorted(map(tuple, before_df)) == sorted(map(tuple, after.collect()))
+    # the compacted copy survives source deletion (commit point passed)
+    n_before2, _ = compact_output(spark, out, drop_source=True)
+    assert sorted(map(tuple, before_df)) == sorted(
+        map(tuple, read_extracted(spark, out).collect())
+    )
+
+
+def test_compact_refuses_incomplete_run(spark, transcripts, tmp_path):
+    """A partial run must not compact — the rewrite would freeze the
+    gap as if it were the complete output."""
+    from pdf_parser_spark.runner import compact_output, run_extraction
+
+    out = str(tmp_path / "compact_partial")
+    with pytest.raises(RuntimeError, match="failed"):
+        run_extraction(spark, transcripts, out, n_buckets=N_BUCKETS, fail_bucket=2)
+    with pytest.raises(ValueError, match="incomplete"):
+        compact_output(spark, out)
