@@ -723,3 +723,39 @@ def test_cms_empty_and_short_docs_contribute_nothing(spark):
         spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
         out = q_cms_heavy_hitters(spark, td).toPandas()
     assert len(out) == 0
+
+
+def test_new_float_ops_invariant_to_partitioning(spark):
+    """The driver gate runs these queries under ITS OWN session config;
+    a result that depends on shuffle-partition count (i.e. on float
+    summation order) would pass locally and fail there. The integer-
+    moment / ordered-fold designs make each op partitioning-invariant —
+    pinned by running at 3 vs 32 shuffle partitions."""
+    from pdf_parser_spark.dataops import (
+        q_cms_heavy_hitters,
+        q_embedding_pca1,
+        q_hist_quantiles,
+        q_weighted_sample,
+    )
+
+    ops = {
+        "cms": q_cms_heavy_hitters,
+        "hist": q_hist_quantiles,
+        "wsample": q_weighted_sample,
+        "pca1": q_embedding_pca1,
+    }
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for k, fn in ops.items():
+                pdf = fn(spark, SF_DIR).toPandas()
+                pdf = pdf[sorted(pdf.columns)].astype(str)
+                results[(k, n)] = (
+                    pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for k in ops:
+        pd.testing.assert_frame_equal(results[(k, "3")], results[(k, "32")])
