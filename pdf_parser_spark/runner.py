@@ -321,16 +321,38 @@ def compact_output(
     ceil(bytes / target_bytes) files hash-clustered on conv_id (so a
     conversation's turns co-locate for downstream per-conv reads).
 
-    Crash-safe by ordering: the compacted copy is fully written (its
-    _SUCCESS exists) BEFORE the manifest flips ``compacted`` — readers
-    use the intact bucket dirs until then, and a half-written compact
-    dir is simply overwritten by the next attempt. Source bucket dirs
-    are kept unless ``drop_source`` (the manifest flip, not the
-    delete, is the commit point). Returns (files_before, files_after).
+    Crash-safe by ordering: the rewrite lands in a temp dir, is
+    atomically renamed to ``_compacted`` only once its _SUCCESS
+    exists, and only THEN does the manifest flip ``compacted`` —
+    readers use the intact bucket dirs until the flip, and a
+    half-written attempt is invisible to them. Re-invocation on an
+    already-compacted run is a safe no-op rewrite-wise (the committed
+    copy may be the ONLY copy once ``drop_source`` has run, so it is
+    never rebuilt from source) but still honors ``drop_source`` for
+    any bucket dirs that remain. Source bucket dirs are kept unless
+    ``drop_source`` (the manifest flip, not the delete, is the commit
+    point). Returns (files_before, files_after).
     """
     manifest = read_manifest(out_dir)
     if manifest is None:
         raise ValueError(f"no manifest at {out_dir}: not a completed run")
+    cdir = os.path.join(out_dir, COMPACT_DIR)
+    bucket_dirs = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("bucket=")
+    ]
+    if manifest.get("compacted") and os.path.exists(
+        os.path.join(cdir, "_SUCCESS")
+    ):
+        # Idempotent re-attempt: after drop_source the compacted copy
+        # is the only data — rewriting it from (now empty) sources
+        # would be silent data loss. Skip the rewrite entirely.
+        if drop_source:
+            for d in bucket_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        n = len(_parquet_files(cdir))
+        return n, n
     done = completed_buckets(spark, out_dir)
     if len(done) < int(manifest["n_buckets"]):
         raise ValueError(
@@ -338,18 +360,20 @@ def compact_output(
             f"{manifest['n_buckets']} buckets); compact only after the "
             "run commits — a partial rewrite would freeze the gap"
         )
-    bucket_dirs = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("bucket=")
-    ]
+    if not bucket_dirs:
+        raise ValueError(
+            f"run at {out_dir} has no bucket dirs and no committed "
+            "compacted copy: nothing to compact from"
+        )
     before = [f for d in bucket_dirs for f in _parquet_files(d)]
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, -(-total // target_bytes))
-    cdir = os.path.join(out_dir, COMPACT_DIR)
-    shutil.rmtree(cdir, ignore_errors=True)  # clear any aborted attempt
+    tmp = cdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)  # clear any aborted attempt
     df = spark.read.schema(EXTRACTED_WITH_SEQ_SCHEMA).parquet(*bucket_dirs)
-    df.repartition(int(n_out), "conv_id").write.mode("overwrite").parquet(cdir)
+    df.repartition(int(n_out), "conv_id").write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(cdir, ignore_errors=True)
+    os.rename(tmp, cdir)
     manifest["compacted"] = True
     _write_manifest(out_dir, manifest)
     if drop_source:

@@ -342,7 +342,7 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-10-minute RANGE frame (part='window', k=event_id),
     gap-based sessionization aggregates (part='session', k=session_id),
     and the view->click->purchase funnel (part='funnel',
-    k=stage_reached, v1/v2 = epoch seconds of the first view /
+    k=stage_reached, v1/v2 = epoch microseconds of the first view /
     conversion). Each member shuffles once on user_id; see member
     docstrings."""
     run = q_window_running_total(spark, sf_dir)

@@ -184,7 +184,15 @@ def test_compact_output_equal_rows_fewer_files(spark, transcripts, tmp_path):
     after = read_extracted(spark, out)
     assert sorted(map(tuple, before_df)) == sorted(map(tuple, after.collect()))
     # the compacted copy survives source deletion (commit point passed)
-    n_before2, _ = compact_output(spark, out, drop_source=True)
+    compact_output(spark, out, drop_source=True)
+    assert not [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert sorted(map(tuple, before_df)) == sorted(
+        map(tuple, read_extracted(spark, out).collect())
+    )
+    # re-invocation after drop_source is a safe no-op: it must NOT
+    # rebuild from the (now absent) sources and lose the only copy
+    n3_before, n3_after = compact_output(spark, out, drop_source=True)
+    assert n3_before == n3_after == n_after
     assert sorted(map(tuple, before_df)) == sorted(
         map(tuple, read_extracted(spark, out).collect())
     )
