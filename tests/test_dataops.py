@@ -110,15 +110,16 @@ def test_media_pipeline_schema_and_counts(spark):
 
 def test_ann_recall_floors(spark):
     """Approximate paths must stay useful: recall@5 vs brute force via
-    the q_ann_accuracy contract query. Measured at sf0.001 after the
-    round-3 parameter sweep: LSH (16 tables x 4 planes) 0.88, IVF
-    (16 lists, nprobe 8) 0.84 — floors leave margin for data drift."""
+    the q_ann_accuracy contract query. Measured after the round-4
+    sweep (scripts/ann_sweep.py): LSH (32 tables x 4 planes) 0.96 at
+    sf0.001 / 1.0 at sf0.01, IVF (16 lists, nprobe 10, 2-way list
+    replication) 1.0 at both — floors leave margin for data drift."""
     from pdf_parser_spark.dataops import q_ann_accuracy
 
     acc = q_ann_accuracy(spark, SF_DIR).toPandas()
     mean_recall = acc.groupby("method")["recall_at_5"].mean()
-    assert mean_recall["lsh"] >= 0.75
-    assert mean_recall["ivf"] >= 0.7
+    assert mean_recall["lsh"] >= 0.9
+    assert mean_recall["ivf"] >= 0.9
     # k_returned is never above the configured top-k and every row's
     # overlap is consistent with its recall
     assert (acc["k_returned"] <= 5).all()
@@ -394,9 +395,9 @@ def test_unigram_logprob_known_values_and_empty_docs(spark):
     want0 = (2 * lp["a"] + lp["b"]) / 3
     want1 = (lp["b"] + lp["c"]) / 2
     assert list(out["n_tokens"]) == [3, 2, 0, 0]
-    assert out["avg_logprob"].iloc[0] == pytest.approx(round(want0, 6), abs=1e-9)
-    assert out["avg_logprob"].iloc[1] == pytest.approx(round(want1, 6), abs=1e-9)
-    assert out["ppl_proxy"].iloc[0] == pytest.approx(round(math.exp(-want0), 3), abs=1e-9)
+    assert out["avg_logprob"].iloc[0] == pytest.approx(round(want0, 4), abs=1e-9)
+    assert out["avg_logprob"].iloc[1] == pytest.approx(round(want1, 4), abs=1e-9)
+    assert out["ppl_proxy"].iloc[0] == pytest.approx(round(math.exp(-want0), 2), abs=1e-9)
     # zero-token docs: kept, neutral score
     assert list(out["avg_logprob"].iloc[2:]) == [0.0, 0.0]
     assert list(out["ppl_proxy"].iloc[2:]) == [1.0, 1.0]
@@ -629,6 +630,39 @@ def test_pca1_projection_tracks_true_top_component(spark):
     got = proj.loc[emb["vec_id"]].to_numpy()
     corr = np.corrcoef(got, true_proj)[0, 1]
     assert abs(corr) >= 0.95, corr
+
+
+def test_pca_moment_accumulator_matches_explode(spark):
+    """The mapInPandas outer-product moment pass (the production
+    shape: one int64 block per partition) must be BIT-identical to
+    the double-posexplode reshape twin — both are pure integer sums,
+    so exact set equality, not tolerance. Runs on a multi-partition
+    input so cross-partition block merging is actually exercised."""
+    from pdf_parser_spark.dataops import (
+        PCA_QUANT,
+        _pca_moment_cells,
+        _pca_moment_cells_explode,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .repartition(7)
+        .select(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * PCA_QUANT).cast("bigint"),
+            ).alias("q")
+        )
+    )
+    fast = _pca_moment_cells(e)
+    slow = _pca_moment_cells_explode(e)
+    # names+types (nullability legally differs: posexplode emits
+    # non-nullable pos columns, mapInPandas nullable ones)
+    assert [(f.name, f.dataType) for f in fast.schema] == [
+        (f.name, f.dataType) for f in slow.schema
+    ]
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
 
 
 def test_pivot_unpivot_round_trip(spark):

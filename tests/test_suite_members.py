@@ -66,6 +66,14 @@ def test_member_matches_oracle(spark, ddb, name):
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
-    pd.testing.assert_frame_equal(
-        a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
-    )
+    # exact equality everywhere the gate would hash-compare exactly
+    # (ints/strings/bools); rtol only for float columns, where the
+    # engines' plans may legally differ below the rounded precision
+    float_cols = [c for c in a.columns if a[c].dtype.kind == "f" or b[c].dtype.kind == "f"]
+    crisp = [c for c in a.columns if c not in float_cols]
+    pd.testing.assert_frame_equal(a[crisp], b[crisp], check_dtype=False, check_exact=True)
+    if float_cols:
+        pd.testing.assert_frame_equal(
+            a[float_cols], b[float_cols], check_dtype=False, check_exact=False,
+            rtol=1e-9, atol=1e-9,
+        )
