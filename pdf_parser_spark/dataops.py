@@ -1292,34 +1292,12 @@ HIST_BINS = 64  # power of two: the /64 width division is an exact exponent shif
 HIST_QS = (0.5, 0.9, 0.99)
 
 
-def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable quantile sketch per event type: a HIST_BINS-bucket
-    equi-width histogram over ``value`` (bounds from one cheap exact
-    min/max aggregate), with p50/p90/p99 read back by linear
-    interpolation inside the first bucket whose running count crosses
-    q*n. Completes the sketch family (KMV = distinct, CMS = frequency,
-    this = quantiles); the selected bin is the one containing the
-    rank-ceil(q*n) order statistic, so the estimate is within one
-    bin_width of that type-1 quantile by construction —
-    test_hist_quantile_error_bound pins it (the INTERPOLATED
-    percentile() can sit farther away when the tail is sparse; the
-    suite reports both side by side).
-
-    Scale: exact percentile() needs the per-group value multiset on
-    one reducer (O(n) state); the histogram is <= HIST_BINS counters
-    per group, partial-aggregated map-side, and histograms over
-    disjoint splits ADD cell-wise given the shared bounds (the merge
-    test). Cross-engine determinism: bucketing and interpolation use
-    only IEEE-exact ops (+ - * / floor), never libm; the width
-    division by 64 is an exponent shift, exact for any bounds. The
-    per-type stats/cum tables are |event types| * HIST_BINS rows —
-    true dimension tables; joins are left to AQE."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # stats and cum are |event types| x HIST_BINS-bounded but feed
-    # MULTIPLE consumers below — checkpoint them eagerly so the plan
-    # scans events exactly twice (bounds pass + bin pass), not once
-    # per consumer subtree
-    stats = (
+def hist_bounds(ev: DataFrame) -> DataFrame:
+    """One exact min/max/count pass over (event_type, value) ->
+    (event_type, vmin, vmax, n, width): the shared-bounds table every
+    histogram cell aggregation (batch OR streaming) bins against —
+    cells over disjoint splits only add cell-wise when they share it."""
+    return (
         ev.groupBy("event_type")
         .agg(
             F.min("value").alias("vmin"),
@@ -1327,24 +1305,37 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
         .withColumn("width", (F.col("vmax") - F.col("vmin")) / F.lit(float(HIST_BINS)))
-    ).localCheckpoint(eager=True)
-    binned = ev.join(stats, "event_type").withColumn(
-        "bin",
-        F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
-            F.least(
-                F.lit(HIST_BINS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col("value") - F.col("vmin")) / F.col("width")).cast(
-                        "int"
-                    ),
-                ),
-            )
-        ),
     )
-    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+
+
+def _hist_bin_col(value, vmin, width):
+    """Equi-width bin index in [0, HIST_BINS): IEEE-exact ops only
+    (- / floor), zero-width groups collapse to bin 0, out-of-bounds
+    values clamp. The SINGLE source of the binning expression — the
+    batch sketch and streaming.stream_hist_cells both call it, which
+    is what makes their cells mergeable by sum (stream==batch test)."""
+    return F.when(width == F.lit(0.0), F.lit(0)).otherwise(
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.greatest(F.lit(0), F.floor((value - vmin) / width).cast("int")),
+        )
+    )
+
+
+def _hist_quantiles_from(hist: DataFrame, stats: DataFrame) -> DataFrame:
+    """Quantile read-back from (event_type, bin, cnt) histogram cells
+    plus the (event_type, vmin, width, n) bounds table: running count
+    picks the bin containing the rank-ceil(q*n) order statistic,
+    linear interpolation inside it. Factored out so the STREAMED cells
+    (streaming.stream_hist_cells, complete mode) read back through the
+    identical arithmetic as the batch sketch — the cells/stats tables
+    are |event types| x HIST_BINS-bounded dimension tables either way."""
+    # cum is tiny but feeds MULTIPLE consumers below — checkpoint it
+    # eagerly so the plan doesn't re-derive the cell aggregation once
+    # per consumer subtree
     w = Window.partitionBy("event_type").orderBy("bin")
     cum = hist.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(eager=True)
+    spark = hist.sparkSession
     qs = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
     )
@@ -1388,6 +1379,40 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_p99",
         )
     )
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event type: a HIST_BINS-bucket
+    equi-width histogram over ``value`` (bounds from one cheap exact
+    min/max aggregate), with p50/p90/p99 read back by linear
+    interpolation inside the first bucket whose running count crosses
+    q*n. Completes the sketch family (KMV = distinct, CMS = frequency,
+    this = quantiles); the selected bin is the one containing the
+    rank-ceil(q*n) order statistic, so the estimate is within one
+    bin_width of that type-1 quantile by construction —
+    test_hist_quantile_error_bound pins it (the INTERPOLATED
+    percentile() can sit farther away when the tail is sparse; the
+    suite reports both side by side).
+
+    Scale: exact percentile() needs the per-group value multiset on
+    one reducer (O(n) state); the histogram is <= HIST_BINS counters
+    per group, partial-aggregated map-side, and histograms over
+    disjoint splits ADD cell-wise given the shared bounds (the merge
+    test). Cross-engine determinism: bucketing and interpolation use
+    only IEEE-exact ops (+ - * / floor), never libm; the width
+    division by 64 is an exponent shift, exact for any bounds. The
+    per-type stats/cum tables are |event types| * HIST_BINS rows —
+    true dimension tables; joins are left to AQE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # stats is |event types|-bounded but feeds MULTIPLE consumers —
+    # checkpoint it eagerly so the plan scans events exactly twice
+    # (bounds pass + bin pass), not once per consumer subtree
+    stats = hist_bounds(ev).localCheckpoint(eager=True)
+    binned = ev.join(stats, "event_type").withColumn(
+        "bin", _hist_bin_col(F.col("value"), F.col("vmin"), F.col("width"))
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    return _hist_quantiles_from(hist, stats)
 
 
 SQL_HIST_QUANTILES = f"""

@@ -250,6 +250,114 @@ def run_stream_to_parquet(
     return writer.start()
 
 
+def stream_hist_cells(events: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Bounded-state streaming histogram: given a STATIC bounds table
+    (event_type, vmin, width) — from a prior profiling pass or domain
+    config; an open stream cannot know global min/max up front — bins
+    each arriving event through the SAME expression as the batch
+    sketch (dataops._hist_bin_col) and maintains per-(type, bin)
+    counts. State is capped at |event types| x HIST_BINS cells forever
+    (the streaming analogue of dataops.q_hist_quantiles' cell table),
+    and because batch and stream share the binning expression and
+    bounds, their cells merge by cell-wise sum. Run in update/complete
+    mode; quantile read-back over the materialized cells is
+    dataops._hist_quantiles_from — test_stream_hist_cells_match_batch
+    pins streamed cells == batch cells AND streamed read-back ==
+    q_hist_quantiles. The bounds side is broadcast (a stream-static
+    join against a |types|-row dimension)."""
+    from .dataops import _hist_bin_col
+
+    binned = events.join(
+        F.broadcast(bounds.select("event_type", "vmin", "width")), "event_type"
+    ).withColumn("bin", _hist_bin_col(F.col("value"), F.col("vmin"), F.col("width")))
+    return binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+
+
+def stream_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming funnel (view -> click -> purchase) via
+    ``applyInPandasWithState``: per-user state is THREE epoch-micro
+    longs — first view, first click strictly after it, first purchase
+    strictly after that — bounded at 3 longs per user regardless of
+    event volume (the streaming analogue of queries.q_funnel_stages'
+    three min-aggregate shuffles).
+
+    Correctness argument: a greedy left-to-right update over
+    ts-ordered events computes exactly the batch semantics — the first
+    view seen in ts order IS min(view ts); once it is set, the first
+    click with ts strictly greater is min(click ts > t_view), and
+    likewise for purchase (strict > makes same-timestamp interleavings
+    order-independent). So on an IN-ORDER stream (microbatch
+    boundaries respect event time — the log-tail / file-replay shape)
+    the last progress row per user equals the batch funnel row;
+    test_stream_funnel_matches_batch pins it. Out-of-order arrival
+    would need a watermarked recompute, the same caveat the batch-only
+    lag/cumsum sessionize documents.
+
+    Emits one progress row per user per microbatch touching them
+    (users with no view yet are out of the funnel by definition, as in
+    batch). NoTimeout, so ``trigger(availableNow=True)`` terminates —
+    unlike the processing-time-timeout conversation tracker.
+
+    Input: (user_id long, event_type string, ts_us long). Output
+    mirrors q_funnel_stages with nullable epoch-micro longs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("stage_reached", T.LongType(), False),
+            T.StructField("t_view", T.LongType(), True),
+            T.StructField("t_click", T.LongType(), True),
+            T.StructField("t_purchase", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_view", T.LongType(), False),
+            T.StructField("t_click", T.LongType(), False),
+            T.StructField("t_purchase", T.LongType(), False),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_us")
+            for ts, et in zip(pdf["ts_us"].to_numpy(), pdf["event_type"].to_numpy()):
+                ts = int(ts)
+                if et == "view":
+                    if tv < 0:
+                        tv = ts
+                elif et == "click":
+                    if tv >= 0 and tc < 0 and ts > tv:
+                        tc = ts
+                elif et == "purchase":
+                    if tc >= 0 and tp < 0 and ts > tc:
+                        tp = ts
+        state.update((tv, tc, tp))
+        if tv < 0:
+            return  # no view yet -> not in the funnel (batch drops these)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage_reached": [1 + int(tc >= 0) + int(tp >= 0)],
+                "t_view": pd.array([tv], dtype="Int64"),
+                "t_click": pd.array([tc if tc >= 0 else None], dtype="Int64"),
+                "t_purchase": pd.array([tp if tp >= 0 else None], dtype="Int64"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_cms_cells(transcripts: DataFrame) -> DataFrame:
     """Bounded-state streaming count-min sketch: CMS cells over the
     bigram stream of arriving turn text (same hash rows as the batch

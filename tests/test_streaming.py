@@ -3,6 +3,7 @@ in a microbatch, exactly-once via checkpoint, watermarked metrics."""
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -237,6 +238,184 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
         ), f"session mismatch for {r}"
     # nearly all sessions closed (corpus spans ~30 days vs 1h watermark)
     assert len(streamed) >= 0.9 * len(batch)
+
+
+def _write_time_ordered_files(spark, df, order_col, in_dir, n_files=4):
+    """Split ``df`` into ``n_files`` sequential event-time ranges and
+    write them as separate single-file batches with strictly increasing
+    mtimes, so the file stream source (ordered by mtime, then path)
+    replays them IN event-time order — the in-order-stream premise the
+    funnel contract documents."""
+    import time
+
+    pdf = df.toPandas().sort_values(order_col, kind="mergesort").reset_index(drop=True)
+    chunk = (len(pdf) + n_files - 1) // n_files
+    now = time.time()
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if not len(part):
+            continue
+        d = os.path.join(in_dir, f"b{i}")
+        spark.createDataFrame(part, schema=df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            os.utime(p, (now + i, now + i))
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Per-user funnel state accumulated across ts-ordered microbatches
+    must end at exactly the batch q_funnel_stages row for every user:
+    same stage_reached, same (nullable) stage timestamps. State is 3
+    longs per user; progress rows are monotone in stage, so the final
+    row per user is the max-stage one."""
+    from pdf_parser_spark.queries import q_funnel_stages
+    from pdf_parser_spark.streaming import stream_funnel_state
+
+    us = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " AS LONG)"
+    )
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    # every corpus user converts fully at sf0.001 — add partial funnels
+    # so stages 1/2, the no-view exclusion, and the click-BEFORE-view
+    # rule are all exercised: -1 click only (out), -2 view only (1),
+    # -3 view+click (2), -4 click at t<view then view (1)
+    t = lambda s: f"TIMESTAMP_NTZ '2024-01-01 00:00:{s:02d}'"  # noqa: E731
+    extra = spark.sql(
+        "SELECT * FROM VALUES "
+        f"(-1L, 'click',    {t(5)}), "
+        f"(-2L, 'view',     {t(5)}), "
+        f"(-3L, 'view',     {t(5)}), (-3L, 'click', {t(7)}), "
+        f"(-4L, 'click',    {t(3)}), (-4L, 'view',  {t(5)}) "
+        "AS v(user_id, event_type, ts)"
+    )
+    # batch ground truth reads events.parquet from a dir — write the
+    # augmented corpus as its own sf_dir
+    sf_dir = str(tmp_path / "fun_sf")
+    base.unionByName(extra).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_type", us.alias("ts_us")
+    )
+    in_dir = str(tmp_path / "fun_in")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_time_ordered_files(spark, ev, "ts_us", in_dir)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out = str(tmp_path / "fun_out")
+    ckpt = str(tmp_path / "fun_ckpt")
+    q = (
+        stream_funnel_state(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out).toPandas()
+    # progress rows are monotone per user (t_* never change once set),
+    # so the final state is the unique max-stage row
+    final = streamed.sort_values(["user_id", "stage_reached"]).groupby(
+        "user_id", as_index=False
+    ).last()
+
+    batch = q_funnel_stages(spark, sf_dir).toPandas()
+    assert len(final) == len(batch) > 0
+    got = {
+        int(r.user_id): (
+            int(r.stage_reached),
+            None if pd.isna(r.t_view) else int(r.t_view),
+            None if pd.isna(r.t_click) else int(r.t_click),
+            None if pd.isna(r.t_purchase) else int(r.t_purchase),
+        )
+        for r in final.itertuples()
+    }
+    to_us = lambda v: None if pd.isna(v) else int(  # noqa: E731
+        (v - pd.Timestamp("1970-01-01")).value // 1000
+    )
+    want = {
+        int(r.user_id): (
+            int(r.stage_reached),
+            to_us(r.t_view),
+            to_us(r.t_click),
+            to_us(r.t_purchase),
+        )
+        for r in batch.itertuples()
+    }
+    assert got == want
+    # all three stages are exercised, the click-only user is absent,
+    # and the click-before-view user stalls at stage 1
+    assert {s for s, *_ in want.values()} == {1, 2, 3}
+    assert -1 not in want and want[-4][0] == 1 and want[-3][0] == 2
+
+
+def test_stream_hist_cells_match_batch(spark, tmp_path):
+    """Streaming histogram cells (complete mode, state capped at
+    |types| x HIST_BINS) over the same bounds must equal the batch
+    cells EXACTLY (integer counts, shared binning expression), and the
+    quantile read-back over the streamed cells must equal the batch
+    q_hist_quantiles output row for row."""
+    from pdf_parser_spark.dataops import (
+        HIST_BINS,
+        _hist_quantiles_from,
+        hist_bounds,
+        q_hist_quantiles,
+    )
+    from pdf_parser_spark.streaming import stream_hist_cells
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bounds = hist_bounds(ev).localCheckpoint(eager=True)
+
+    in_dir = str(tmp_path / "hist_in")
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_hist_cells(src, bounds)
+        .writeStream.format("memory")
+        .queryName("hist_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed_cells = spark.table("hist_cells").localCheckpoint(eager=True)
+    sc = {(r["event_type"], r["bin"]): r["cnt"] for r in streamed_cells.collect()}
+    bc = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in stream_hist_cells(ev, bounds).collect()
+    }
+    assert sc == bc and len(bc) > 0
+    assert max(b for _, b in sc) < HIST_BINS and min(b for _, b in sc) >= 0
+
+    key = ["event_type"]
+    got = (
+        _hist_quantiles_from(streamed_cells, bounds)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        q_hist_quantiles(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_stream_cms_matches_batch_sketch(spark, input_dir, tmp_path):
