@@ -3188,47 +3188,54 @@ def _cms_bucket(i: int, col: str = "gram"):
     return h % CMS_WIDTH
 
 
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch over the corpus bigram census: the fixed-state
-    twin of q_ngram_topk (reference analogue: the census behind
-    contamination checks; sketch per Cormode-Muthukrishnan 2005). The
-    sketch is CMS_DEPTH x CMS_WIDTH counters; each top-20 exact gram
-    is estimated as min over its CMS_DEPTH cells, and the one-sided
-    error (est >= exact always) is emitted as ``overest``.
+# Candidate sampling: keep 1/MOD of gram OCCURRENCES, overselect the
+# sampled census to CAND_K. The overselect must cover the sampling-noise
+# band around rank NGRAM_TOPK_CORPUS, which depends on how flat the
+# frequency distribution is near the cut: the synthetic test corpus is
+# near-uniform (true top-20 freqs 39-42 over a ~916-gram vocabulary), and
+# a measured sweep (DuckDB, all three SFs) puts the deepest sampled rank
+# of any true top-20 gram at 365 for MOD=2 — hence CAND_K=512. A Zipfian
+# web corpus needs only a small multiple of k; the equality contract
+# (test_cms_sampled_candidates_match_census) is what makes the chosen
+# operating point checkable rather than hoped-for.
+CMS_SAMPLE_MOD = 2
+CMS_CAND_K = 512
 
-    Scale: the exact census keeps O(vocabulary) state — unbounded on a
-    web corpus — while the sketch is 2,048 mergeable cells regardless
-    of corpus size: the posexplode fans each gram to CMS_DEPTH 2-int
-    rows that partial-aggregate map-side into <= DEPTH*WIDTH cells per
-    task, so the shuffle moves at most (tasks x 2048) rows. The exact
-    top-k here is the audit candidate set (it pins the estimates to
-    ground truth in the gate); a 100 TB run derives candidates from a
-    sample or a per-partition local top-k instead and keeps only the
-    sketch as global state. Estimation joins the 4-cell lookup against
-    the <=2,048-row cell table (AQE broadcasts it)."""
-    grams = (
+
+def _cms_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) per-doc distinct bigram occurrences — the shared
+    input of the sketch cells, the sampled candidate pass, and the
+    census audit twin."""
+    return (
         _docs(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("toks", _tokens_col())
-        .select(F.explode(_ngrams_col(F.col("toks"), 2)).alias("gram"))
+        .select("doc_id", F.explode(_ngrams_col(F.col("toks"), 2)).alias("gram"))
     )
+
+
+def _cms_finish(grams: DataFrame, cand: DataFrame) -> DataFrame:
+    """Top-NGRAM_TOPK_CORPUS rows with sketch estimates, from a
+    candidate gram set: candidate-filtered exact counts (broadcast
+    semi join — state bounded by |cand|, not vocabulary), rank by true
+    frequency, estimate each survivor as min over its CMS_DEPTH cells,
+    emit the one-sided error (est >= exact always) as ``overest``."""
     buckets = F.array(*[_cms_bucket(i) for i in range(CMS_DEPTH)])
     cells = (
         grams.select(F.posexplode(buckets).alias("r", "b"))
         .groupBy("r", "b")
         .agg(F.count("*").alias("cnt"))
     )
-    exact_topk = (
-        grams.groupBy("gram")
+    topk = (
+        grams.join(F.broadcast(cand.select("gram")), "gram", "left_semi")
+        .groupBy("gram")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("gram"))
         .limit(NGRAM_TOPK_CORPUS)
     )
-    cand = exact_topk.select(
-        "gram", "doc_freq", F.posexplode(buckets).alias("r", "b")
-    )
+    est = topk.select("gram", "doc_freq", F.posexplode(buckets).alias("r", "b"))
     return (
-        cand.join(cells, ["r", "b"])
+        est.join(cells, ["r", "b"])
         .groupBy("gram", "doc_freq")
         .agg(F.min("cnt").alias("est_freq"))
         .select(
@@ -3238,6 +3245,74 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_freq") - F.col("doc_freq")).alias("overest"),
         )
     )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus bigram stream: the fixed-state
+    twin of q_ngram_topk (reference analogue: the census behind
+    contamination checks; sketch per Cormode-Muthukrishnan 2005). The
+    sketch is CMS_DEPTH x CMS_WIDTH counters; each top-20 gram is
+    estimated as min over its CMS_DEPTH cells, and the one-sided error
+    (est >= exact always) is emitted as ``overest``.
+
+    Candidate generation is the PRODUCTION shape (round 4 — the exact
+    O(vocabulary) census no longer appears anywhere in this query):
+    a deterministic 1/CMS_SAMPLE_MOD hash-sample of gram OCCURRENCES
+    (md5 over doc_id|gram — sampling occurrences, not gram types, so
+    every heavy hitter keeps ~freq/MOD sampled rows and survives w.h.p.,
+    whereas type-sampling would drop a heavy hitter outright with prob
+    (MOD-1)/MOD) is censused and its top CMS_CAND_K grams by
+    sampled count become candidates; exact counts are then computed
+    ONLY for candidates via a broadcast semi join (state = |cand|).
+    test_cms_sampled_candidates_match_census pins this output equal to
+    the census audit twin (_cms_heavy_hitters_census).
+
+    Scale: the sketch is 2,048 mergeable cells regardless of corpus
+    size — the posexplode fans each gram to CMS_DEPTH 2-int rows that
+    partial-aggregate map-side into <= DEPTH*WIDTH cells per task, so
+    that shuffle moves at most (tasks x 2048) rows. The sampled census
+    keeps ~vocabulary/MOD state (rare grams sampled out entirely); at
+    100 TB, MOD scales with corpus size (heavy hitters keep thousands
+    of sampled occurrences at MOD=1024 while the state shrinks 1000x).
+    Estimation joins the 4-cell lookup against the <=2,048-row cell
+    table (AQE broadcasts it)."""
+    grams = _cms_grams(spark, sf_dir)
+    samp_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("hh|"), F.col("doc_id").cast("string"), F.lit("|"), F.col("gram")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        grams.filter(samp_hash % CMS_SAMPLE_MOD == 0)
+        .groupBy("gram")
+        .agg(F.count("*").alias("samp_freq"))
+        .orderBy(F.desc("samp_freq"), F.asc("gram"))
+        .limit(CMS_CAND_K)
+    )
+    return _cms_finish(grams, cand)
+
+
+def _cms_heavy_hitters_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit twin: candidates from the exact O(vocabulary) census (the
+    round-3 gate shape). Kept ONLY to pin the production sampled path:
+    test_cms_sampled_candidates_match_census asserts both emit the
+    identical top-20 rows."""
+    grams = _cms_grams(spark, sf_dir)
+    cand = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(NGRAM_TOPK_CORPUS)
+    )
+    return _cms_finish(grams, cand)
 
 
 _SQL_CMS_BUCKET = (
@@ -3251,7 +3326,8 @@ SQL_CMS_HEAVY_HITTERS = f"""
         FROM documents
     ),
     g AS (
-        SELECT unnest(list_distinct(
+        SELECT doc_id,
+               unnest(list_distinct(
                    CASE WHEN len(toks) < 2 THEN []
                         ELSE list_transform(range(1, len(toks)),
                                             i -> toks[i] || ' ' || toks[i + 1])
@@ -3263,8 +3339,18 @@ SQL_CMS_HEAVY_HITTERS = f"""
         SELECT r, {_SQL_CMS_BUCKET.format(r='r')} AS b, count(*) AS cnt
         FROM g CROSS JOIN rows_ GROUP BY 1, 2
     ),
+    samp AS (
+        SELECT gram, count(*) AS samp_freq FROM g
+        WHERE CAST(('0x' || substr(md5('hh|' || CAST(doc_id AS VARCHAR)
+                                   || '|' || gram), 1, 15)) AS BIGINT)
+              % {CMS_SAMPLE_MOD} = 0
+        GROUP BY gram
+        ORDER BY samp_freq DESC, gram ASC LIMIT {CMS_CAND_K}
+    ),
     cand0 AS (
-        SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+        SELECT g.gram, count(*) AS doc_freq FROM g
+        WHERE g.gram IN (SELECT gram FROM samp)
+        GROUP BY g.gram
         ORDER BY doc_freq DESC, gram ASC LIMIT {NGRAM_TOPK_CORPUS}
     ),
     cand AS (

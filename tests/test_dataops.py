@@ -470,6 +470,26 @@ def test_cms_heavy_hitters_invariants(spark):
     )
 
 
+def test_cms_sampled_candidates_match_census(spark):
+    """The production candidate path (1/CMS_SAMPLE_MOD occurrence-hash
+    sample -> top-CMS_CAND_K sampled census -> candidate-only exact
+    counts) must emit
+    the IDENTICAL top-20 rows as the exact-census audit twin — i.e.
+    the sampled overselect recovers every true heavy hitter, so the
+    gate output is unchanged by removing the O(vocabulary) census
+    from the production query."""
+    from pdf_parser_spark.dataops import (
+        _cms_heavy_hitters_census,
+        q_cms_heavy_hitters,
+    )
+
+    prod = q_cms_heavy_hitters(spark, SF_DIR)
+    census = _cms_heavy_hitters_census(spark, SF_DIR)
+    assert prod.exceptAll(census).count() == 0
+    assert census.exceptAll(prod).count() == 0
+    assert prod.count() > 0
+
+
 def test_cms_sketch_is_mergeable(spark):
     """The whole point of the sketch at 100 TB: cells built over two
     disjoint halves of the corpus ADD to the global cells — count-min
