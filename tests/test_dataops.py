@@ -112,14 +112,17 @@ def test_ann_recall_floors(spark):
     """Approximate paths must stay useful: recall@5 vs brute force via
     the q_ann_accuracy contract query. Measured after the round-4
     sweep (scripts/ann_sweep.py): LSH (32 tables x 4 planes) 0.96 at
-    sf0.001 / 1.0 at sf0.01, IVF (16 lists, nprobe 10, 2-way list
-    replication) 1.0 at both — floors leave margin for data drift."""
+    sf0.001 / 1.0 at sf0.01+sf0.1, IVF (16 lists, nprobe 10, 2-way
+    list replication) 1.0 at all three SFs. Floors sit at the VERDICT
+    r3 target (>=0.95); the pipeline is fully deterministic (fixed
+    data, md5-seeded planes/centroids), so the measured values are
+    exact, not a flake band."""
     from pdf_parser_spark.dataops import q_ann_accuracy
 
     acc = q_ann_accuracy(spark, SF_DIR).toPandas()
     mean_recall = acc.groupby("method")["recall_at_5"].mean()
-    assert mean_recall["lsh"] >= 0.9
-    assert mean_recall["ivf"] >= 0.9
+    assert mean_recall["lsh"] >= 0.95
+    assert mean_recall["ivf"] >= 0.95
     # k_returned is never above the configured top-k and every row's
     # overlap is consistent with its recall
     assert (acc["k_returned"] <= 5).all()
