@@ -194,6 +194,98 @@ def run_bench(spark, sf_dir: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# --decompose: per-stage attribution via the Spark UI REST API
+# ---------------------------------------------------------------------------
+
+# the 5 heaviest suite entries per the round-3 plan audit; override
+# with --decompose q1,q2,...
+DECOMPOSE_QUERIES = [
+    "winnow_near_dup",
+    "embedding_pca1",
+    "dedup_accuracy",
+    "minhash_near_dup",
+    "semantic_search",
+]
+
+
+def _rest_completed_stages(ui_base: str) -> list[dict]:
+    """All completed stage attempts of the running app, via the UI REST
+    API (api/v1/applications/{id}/stages). Numeric fields only — no
+    string parsing of formatted UI durations."""
+    import urllib.request
+
+    with urllib.request.urlopen(f"{ui_base}/api/v1/applications", timeout=10) as r:
+        app_id = json.load(r)[0]["id"]
+    url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def run_decompose(spark, sf_dir: str, names: list[str]) -> dict:
+    """Attribute each query's executor time to scan / shuffle / JVM
+    compute / non-JVM residue (Python workers + Arrow + IO wait), by
+    diffing the completed-stage set around a single fresh run.
+
+    Units normalized to ms: executorRunTime / jvmGcTime /
+    shuffleFetchWaitTime arrive in ms, executorCpuTime /
+    shuffleWriteTime in ns. The "python+arrow residue" is
+    run - jvmCpu - gc - fetchWait - shuffleWrite: in local mode the
+    JVM cannot spend task wall time outside those buckets except in
+    Python workers, Arrow (de)serialization, and IO waits — the
+    decomposition the round-3 scaling narrative cited from one manual
+    UI session, now reproducible from the committed harness."""
+    ui_base = spark.sparkContext.uiWebUrl
+    if not ui_base:
+        raise RuntimeError("Spark UI disabled — run with SPARK_GRAFT_UI=true")
+    from pdf_parser_spark.dataops import clear_memo_caches
+
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = QUERIES[name]
+        clear_memo_caches()
+        before = {
+            (s["stageId"], s["attemptId"]) for s in _rest_completed_stages(ui_base)
+        }
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        time.sleep(0.5)  # let the last stage land in the status store
+        stages = [
+            s
+            for s in _rest_completed_stages(ui_base)
+            if (s["stageId"], s["attemptId"]) not in before
+        ]
+        run = sum(s.get("executorRunTime", 0) for s in stages)
+        cpu = sum(s.get("executorCpuTime", 0) for s in stages) / 1e6
+        gc = sum(s.get("jvmGcTime", 0) for s in stages)
+        fetch = sum(s.get("shuffleFetchWaitTime", 0) for s in stages)
+        swrite = sum(s.get("shuffleWriteTime", 0) for s in stages) / 1e6
+        scan_run = sum(
+            s.get("executorRunTime", 0) for s in stages if s.get("inputBytes", 0) > 0
+        )
+        out[name] = {
+            "wall_sec": round(wall, 3),
+            "n_stages": len(stages),
+            "executor_run_ms": int(run),
+            "jvm_cpu_ms": int(cpu),
+            "gc_ms": int(gc),
+            "shuffle_fetch_wait_ms": int(fetch),
+            "shuffle_write_ms": int(swrite),
+            "python_arrow_residue_ms": int(max(0.0, run - cpu - gc - fetch - swrite)),
+            "scan_stage_run_ms": int(scan_run),
+            "input_mb": round(sum(s.get("inputBytes", 0) for s in stages) / 2**20, 1),
+            "shuffle_read_mb": round(
+                sum(s.get("shuffleReadBytes", 0) for s in stages) / 2**20, 1
+            ),
+            "shuffle_write_mb": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**20, 1
+            ),
+        }
+    return {"sf_dir": sf_dir, "cores": spark.sparkContext.defaultParallelism,
+            "queries": out}
+
+
 SCALING_CORPUS = os.environ.get("SPARK_GRAFT_SCALING_CORPUS", "/tmp/scale_corpus_8m.parquet")
 SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "400000"))
 
@@ -478,6 +570,20 @@ def run_scaling_cluster() -> dict:
 
 
 def main() -> None:
+    if "--decompose" in sys.argv:
+        i = sys.argv.index("--decompose")
+        names = (
+            sys.argv[i + 1].split(",")
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else DECOMPOSE_QUERIES
+        )
+        os.environ["SPARK_GRAFT_UI"] = "true"
+        spark = get_spark("bench_decompose")
+        try:
+            print(json.dumps(run_decompose(spark, SF_DIR, names)))
+        finally:
+            spark.stop()
+        return
     if "--cluster-leg" in sys.argv:
         n_workers = int(sys.argv[sys.argv.index("--cluster-leg") + 1])
         print(json.dumps(run_cluster_leg(n_workers)))

@@ -170,7 +170,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless); bench.py --decompose flips it
+        # on to read per-stage metrics from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
 
