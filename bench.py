@@ -118,6 +118,19 @@ BENCH_QUERIES = [
     "tpch_q19",
     "sequence_pack",
     "salted_join",
+    # round 4: the TPC-H completion set (full 22-query dash)
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

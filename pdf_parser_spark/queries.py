@@ -732,6 +732,434 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H completion set (round 4): Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/
+# Q21/Q22 — the full 22-query dash. The testdata schema is reduced
+# TPC-H (no partsupp, no commit/receipt dates, no phone/comment/
+# container columns), so each query keeps its DEFINING relational
+# feature (correlated min-subquery, double-EXISTS, scalar-threshold
+# HAVING, ...) and substitutes documented analogue columns where the
+# original's column doesn't exist — the same convention as Q4/Q12.
+# ---------------------------------------------------------------------------
+
+
+def _supplier_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region, filtered to one region — the
+    broadcast-sized dim chain shared by Q2/Q7/Q8/Q9/Q11/Q20/Q21."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): the correlated min-subquery
+    — for each part, keep exactly the supplier(s) whose cost equals the
+    regional minimum. No partsupp table, so the part-supplier relation
+    is derived from lineitem: unit_cost = min over that (part,
+    supplier)'s lines of l_extendedprice / l_quantity (an IEEE-exact
+    division of identical inputs, so the doubles are bit-identical in
+    both engines and the equality join on the min is deterministic).
+    Scale: the part-supplier aggregation is one shuffle on (partkey,
+    suppkey); the per-part min re-aggregates the already-tiny result;
+    suppliers/nations/regions broadcast."""
+    suppliers = _supplier_region(spark, sf_dir, "EUROPE").select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    min_cost = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        ps.join(
+            min_cost,
+            (ps.l_partkey == min_cost.l_partkey) & (ps.unit_cost == min_cost.min_cost),
+        )
+        .drop(min_cost.l_partkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trade partners):
+    the two-sided nation-pair filter, grouped by both partners and
+    ship year. Region-level partners (EUROPE↔ASIA) substitute for the
+    original FRANCE↔GERMANY — the testdata has ≤1 supplier per nation
+    at small SF, and regions keep both directions populated. lineitem
+    streams; every dim side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    pair = (
+        (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
+    ) | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy("supp_region", "cust_region", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): ratio-of-conditional-sums per
+    year — the share of EUROPE-based suppliers in ECONOMY-part sales
+    to ASIA customers (region analogues of the original nation/
+    continent pair). The CASE-sum and total ride ONE aggregate; the
+    division happens on the 2-rounded sums so both engines divide
+    identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_asia = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_region") == "EUROPE", vol).otherwise(0.0)), 2
+            ).alias("europe_vol"),
+            F.round(F.sum(vol), 2).alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("europe_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). No
+    ps_supplycost, so cost is the documented analogue
+    floor(50 * p_retailprice) / 100 * l_quantity; profit = revenue −
+    cost, summed per (supplier nation, order year) for parts named
+    like '%widget%'. BOTH per-row terms are floor-truncated to cents
+    before the sum: the raw revenue term l_extendedprice*(1-l_discount)
+    has 4 decimals, so a group's true sum can land EXACTLY on a .005
+    rounding boundary (measured here: one group summed to exactly
+    219973.625, an exactly-representable binary half, where the two
+    engines' — and even two plans' — last-ulp summation differences
+    flip round(...,2)). With cent-truncated terms every sum is a
+    multiple of 0.01 and the final round is ≥0.005 from any boundary.
+    floor, not round(,2), for the truncation: floor of an IEEE-exact
+    product is the same double in both engines, while decimal rounding
+    of a .XX5 half is implementation-defined (Spark rounds the
+    shortest decimal string HALF_UP; DuckDB rounds the binary value).
+    part/supplier/nation broadcast; lineitem⋈orders is the one big
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    profit = F.floor(
+        100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) / 100 - (F.floor(50 * F.col("p_retailprice")) / 100) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value with a
+    HAVING-against-global-scalar threshold. Value is the lineitem
+    analogue sum(l_extendedprice * l_quantity) over EUROPE suppliers
+    (no partsupp); parts whose value exceeds 2× the mean per-part
+    value survive (a scale-free threshold — the original's fixed
+    0.0001 fraction empties at larger SF as per-part shares shrink).
+    The scalar (total, count) is a 1-row aggregate cross-joined in
+    (bounded); the threshold is floor-truncated to 2 dp so both
+    engines compare the identical double."""
+    suppliers = _supplier_region(spark, sf_dir, "EUROPE").select("s_suppkey")
+    vals = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+    )
+    total = vals.agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("*").alias("n_parts"),
+    )
+    thresh = F.floor(200 * F.col("total_value") / F.col("n_parts")) / 100
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > thresh)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers land in bucket 0, then the two-level
+    aggregate (orders per customer → customers per count). The
+    excluded class ('5-LOW' priority, analogue of the original
+    comment-pattern filter) is pushed to the orders scan. Both
+    aggregates are map-side-combinable; the second one's input is
+    |customers| rows."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue view over one quarter and
+    the scalar-max equality — suppliers whose quarterly revenue equals
+    the global maximum. Revenue is rounded to 2 dp BEFORE the max/
+    equality on both sides, so the comparison is between identical
+    doubles. One shuffle for the view; the max is a 1-row broadcast."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship count): count DISTINCT
+    suppliers per (brand, type, size) bucket, with both exclusion
+    classes — a part-attribute exclusion (Brand#5 / PROMO) and a
+    supplier blocklist (negative acctbal, analogue of the original
+    complaints filter) applied as an ANTI join before the distinct
+    aggregation. The part-supplier pairs come from lineitem
+    (no partsupp); distinct-aggregation is the one shuffle."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part average — lines whose quantity is below 20% of their
+    part's mean quantity, for one brand (container column doesn't
+    exist; Brand#3 is the filter). Deterministic: quantities are
+    integral so the per-part mean is an exactly-rounded division, and
+    0.2*avg is exactly rounded from identical inputs. The per-part avg
+    joins back broadcast (≤|parts of one brand| rows)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy("p_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_q.withColumnRenamed("p_partkey", "ap")), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested
+    aggregate-then-semi-join chain — AFRICA suppliers who shipped more
+    than 100 units of 'blue%' parts during 1997 (availqty doesn't
+    exist; the shipped-quantity threshold keeps the HAVING-over-join
+    core). Quantity sums are integral → exact. The qualifying-supplier
+    set semi-joins into the supplier dim."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        _supplier_region(spark, sf_dir, "AFRICA")
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS pair — EUROPE suppliers with a RETURNED line
+    in a multi-supplier order where NO OTHER supplier's line was
+    returned (receipt/commit dates don't exist; returnflag='R' is the
+    lateness analogue). EXISTS compiles to a LEFT SEMI and NOT EXISTS
+    to a LEFT ANTI on (orderkey, other-supplier) — Catalyst never
+    duplicates the probe side. Count per supplier, top-100."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            others_r,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    suppliers = _supplier_region(spark, sf_dir, "EUROPE").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): the scalar-average
+    threshold + anti-join — customers in a country-code set with
+    above-average positive balances and NO recent orders. Country code
+    is n_nationkey % 7 (no phone column); "no orders" is windowed to
+    orderdate ≥ 1999-01-01 because every testdata customer has SOME
+    order. The average is a 1-row broadcast; the anti join probes with
+    the filtered orders side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.col("c_nationkey") % 7)
+        .filter(F.col("cntrycode").isin(1, 2, 3))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join surface (joins.salted_join): enrich the events
     fact with a per-user profile on user_id — the events table
@@ -1157,6 +1585,227 @@ ORACLES: dict[str, str] = {
            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
     """,
+    "tpch_q2": """
+        WITH supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        ps AS (
+            SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+        SELECT round(ps.s_acctbal, 2) AS s_acctbal, ps.s_name, ps.n_name,
+               p.p_partkey, p.p_name, round(ps.unit_cost, 6) AS unit_cost
+        FROM ps
+        JOIN mc ON ps.l_partkey = mc.l_partkey AND ps.unit_cost = mc.min_cost
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, ps.n_name ASC, ps.s_name ASC, p.p_partkey ASC
+        LIMIT 100
+    """,
+    "tpch_q7": """
+        WITH supp AS (
+            SELECT s_suppkey, r_name AS supp_region
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        ),
+        cust AS (
+            SELECT c_custkey, r_name AS cust_region
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT supp_region, cust_region,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supp ON l_suppkey = s_suppkey
+        JOIN cust ON o_custkey = c_custkey
+        WHERE (supp_region = 'EUROPE' AND cust_region = 'ASIA')
+           OR (supp_region = 'ASIA' AND cust_region = 'EUROPE')
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        WITH supp AS (
+            SELECT s_suppkey, r_name AS supp_region
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        ),
+        cust_asia AS (
+            SELECT c_custkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        yearly AS (
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN supp_region = 'EUROPE'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 2) AS europe_vol,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_vol
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supp ON l_suppkey = s_suppkey
+            JOIN cust_asia ON o_custkey = c_custkey
+            WHERE p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        )
+        SELECT o_year, round(europe_vol / total_vol, 6) AS mkt_share
+        FROM yearly ORDER BY o_year
+    """,
+    "tpch_q9": """
+        SELECT n_name, year(o_orderdate) AS o_year,
+               round(sum(floor(100 * l_extendedprice * (1 - l_discount)) / 100
+                         - floor(50 * p_retailprice) / 100 * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY n_name ASC, o_year DESC
+    """,
+    "tpch_q11": """
+        WITH supp AS (
+            SELECT s_suppkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        vals AS (
+            SELECT l_partkey,
+                   round(sum(l_extendedprice * l_quantity), 2) AS value
+            FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+            GROUP BY 1
+        ),
+        total AS (SELECT round(sum(value), 2) AS total_value,
+                         count(*) AS n_parts FROM vals)
+        SELECT l_partkey, value
+        FROM vals, total
+        WHERE value > floor(200 * total_value / n_parts) / 100
+        ORDER BY value DESC, l_partkey ASC
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+              ON c_custkey = o.o_custkey
+            GROUP BY c_custkey
+        ) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "tpch_q17": """
+        WITH li AS (
+            SELECT l.*, p_partkey FROM lineitem l
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ),
+        avg_q AS (
+            SELECT p_partkey AS ap, avg(l_quantity) AS avg_qty
+            FROM li GROUP BY 1
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM li JOIN avg_q ON l_partkey = ap
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "tpch_q20": """
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'blue%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING sum(l_quantity) > 100
+          )
+        ORDER BY s_name
+    """,
+    "tpch_q21": """
+        WITH l1 AS (
+            SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """,
+    "tpch_q22": """
+        WITH cust AS (
+            SELECT *, c_nationkey % 7 AS cntrycode FROM customer
+            WHERE c_nationkey % 7 IN (1, 2, 3)
+        ),
+        ab AS (
+            SELECT round(avg(c_acctbal), 6) AS avg_bal FROM cust
+            WHERE c_acctbal > 0.0
+        )
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM cust, ab
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
     "salted_join": """
         SELECT e.event_id, e.user_id, e.event_type, p.user_events, p.user_value
         FROM events e
@@ -1225,6 +1874,18 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,
     "tpch_q19": q_tpch_q19,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "salted_join": q_salted_join,
     "bloom_semi_join": q_bloom_semi_join,
     "scd2_intervals": q_scd2_intervals,
