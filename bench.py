@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "lang_mixture",
 ]
 
 

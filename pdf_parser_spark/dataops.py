@@ -2847,6 +2847,107 @@ SQL_DOMAIN_CAP = f"""
 """
 
 
+# Temperature-based language-mixture resampling (the multilingual
+# pretraining mixture of XLM / mBERT): sample languages with
+# probability proportional to p_i^alpha instead of p_i, boosting
+# low-resource languages. alpha = 0.5 EXACTLY so the reweighting is
+# sqrt(p) — sqrt is IEEE-exactly-rounded and therefore bit-identical
+# across engines, unlike the pow() a general alpha would need (the
+# repo's determinism rule: never pow/log in hash-compared paths).
+MIX_TARGET_FRAC = 0.5  # resample the corpus to ~half its size
+
+
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep flags for a temperature-0.5 language mixture:
+    q_lang ∝ sqrt(n_lang), target size m = ceil(0.5·N), keep rate
+    r = min(1, m·q/n) — over-represented languages are thinned toward
+    sqrt proportions, rare languages keep everything (production would
+    additionally replicate rare languages by ceil(m·q/n); sampling
+    keeps the query one-pass). The per-doc coin is the deterministic
+    md5 idiom: keep iff hash60 < r·2^60.
+
+    Determinism: the cross-language normalizer Σ sqrt(n_i) is an
+    ORDERED left fold over the lang-sorted count array (F.aggregate ==
+    DuckDB list_reduce), never a groupBy sum of doubles; everything
+    else is count arithmetic + sqrt/mul/div (all exactly rounded).
+
+    Scale: one groupBy on lang (|langs| rows), a 1-row fold, and a
+    broadcast of the |langs|-row rate table back onto the corpus scan
+    — zero corpus-sized shuffles; the keep decision is a pure codegen
+    projection. Generalizes to any mixture key (source, domain,
+    quality bucket) by swapping the grouping column."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    folded = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("lang"), F.col("n_lang")))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_lang"].cast("double")),
+        ).alias("sum_sqrt"),
+        F.sum("n_lang").alias("n_total"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(folded))
+        .withColumn("m_target", F.ceil(MIX_TARGET_FRAC * F.col("n_total")))
+        .withColumn(
+            "q_lang", F.sqrt(F.col("n_lang").cast("double")) / F.col("sum_sqrt")
+        )
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0), F.col("m_target") * F.col("q_lang") / F.col("n_lang")
+            ),
+        )
+        .select("lang", "n_lang", "q_lang", "keep_rate")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        (h < F.col("keep_rate") * F.lit(float(2**60))).cast("int").alias("mix_keep"),
+        F.col("n_lang"),
+        F.round("q_lang", 6).alias("q_lang"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+SQL_LANG_MIXTURE = f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    agg AS (
+        SELECT list_reduce(
+                   list_prepend(0.0, list(sqrt(CAST(n_lang AS DOUBLE)) ORDER BY lang)),
+                   (a, b) -> a + b) AS sum_sqrt,
+               sum(n_lang) AS n_total
+        FROM counts
+    ),
+    rates AS (
+        SELECT lang, n_lang,
+               sqrt(CAST(n_lang AS DOUBLE)) / sum_sqrt AS q_lang,
+               least(1.0,
+                     ceil({MIX_TARGET_FRAC} * n_total)
+                     * (sqrt(CAST(n_lang AS DOUBLE)) / sum_sqrt) / n_lang) AS keep_rate
+        FROM counts, agg
+    )
+    SELECT doc_id, d.lang,
+           CASE WHEN CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT)
+                     < keep_rate * 1152921504606846976.0
+                THEN 1 ELSE 0 END AS mix_keep,
+           n_lang,
+           round(q_lang, 6) AS q_lang,
+           round(keep_rate, 6) AS keep_rate
+    FROM documents d JOIN rates USING (lang)
+"""
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 bigrams by document frequency (the n-gram
     census behind contamination checks and quality heuristics).
@@ -3448,6 +3549,7 @@ DATAOPS_QUERIES = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
+    "lang_mixture": q_lang_mixture,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -3487,6 +3589,7 @@ DATAOPS_ORACLES = {
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
+    "lang_mixture": SQL_LANG_MIXTURE,
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

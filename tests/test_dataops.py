@@ -816,3 +816,35 @@ def test_new_float_ops_invariant_to_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for k in ops:
         pd.testing.assert_frame_equal(results[(k, "3")], results[(k, "32")])
+
+
+def test_lang_mixture_temperature_semantics(spark):
+    """Temperature-0.5 mixture invariants: keep_rate is monotonically
+    NON-INCREASING in language size (bigger languages get thinned
+    harder), rare languages are never thinned below their sqrt share,
+    every doc appears exactly once, and the realized kept count per
+    language is binomial(n_lang, keep_rate)-plausible (within 5 sigma
+    of the mean — deterministic data, so this is a fixed fact, not a
+    flake bound)."""
+    from pdf_parser_spark.dataops import q_lang_mixture
+
+    pdf = q_lang_mixture(spark, SF_DIR).toPandas()
+    assert pdf["doc_id"].is_unique and len(pdf) > 0
+    per = (
+        pdf.groupby("lang")
+        .agg(
+            n=("doc_id", "count"),
+            rate=("keep_rate", "first"),
+            kept=("mix_keep", "sum"),
+        )
+        .sort_values("n")
+    )
+    # monotone: sorted by ascending n, keep_rate must be non-increasing
+    rates = per["rate"].to_numpy()
+    assert (rates[:-1] >= rates[1:] - 1e-12).all(), per
+    assert (per["rate"] <= 1.0).all() and (per["rate"] > 0.0).all()
+    import numpy as np
+
+    mean = per["n"] * per["rate"]
+    sigma = np.sqrt(per["n"] * per["rate"] * (1 - per["rate"]))
+    assert (abs(per["kept"] - mean) <= 5 * sigma + 1).all(), per
