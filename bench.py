@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "tpch_q21",
     "tpch_q22",
     "lang_mixture",
+    "sft_pairs",
 ]
 
 

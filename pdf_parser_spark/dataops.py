@@ -2847,6 +2847,78 @@ SQL_DOMAIN_CAP = f"""
 """
 
 
+# SFT (context, response) pair assembly: the chat-tuning export — for
+# every assistant turn, the training example is (up to the last
+# SFT_CONTEXT_TURNS turns rendered "role: text", the assistant text).
+SFT_CONTEXT_TURNS = 4
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-fine-tuning pair construction over the conversation
+    grain: one row per assistant turn with a non-empty context window,
+    context = the previous ≤SFT_CONTEXT_TURNS turns joined with
+    newlines. The bounded ROWS frame is the operative scale choice —
+    context size is capped per example regardless of conversation
+    length, so the window state and the output row width never grow
+    with a 10^12-turn conversation tail (an unbounded preceding frame
+    would quadratically re-emit long conversations). One shuffle (the
+    per-conv window); pure string/integer ops, so the DuckDB oracle is
+    exact with no float guard at all."""
+    from .pipeline import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-SFT_CONTEXT_TURNS, -1)
+    )
+    ctx = F.collect_list(F.concat_ws(": ", F.col("role"), F.col("text"))).over(w)
+    joined = F.array_join(F.col("ctx"), "\n")
+    return (
+        t.withColumn("ctx", ctx)
+        .filter((F.col("role") == "assistant") & (F.size("ctx") > 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            joined.alias("context"),
+            F.col("text").alias("response"),
+            F.size("ctx").alias("n_context_turns"),
+            F.length(joined).alias("n_context_chars"),
+        )
+    )
+
+
+SQL_SFT_PAIRS = f"""
+    WITH t AS (
+        SELECT 'conv_' || lpad(CAST(doc_id % 50 AS VARCHAR), 6, '0') AS conv_id,
+               text,
+               row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1
+                   AS turn_idx
+        FROM documents
+    ),
+    r AS (
+        SELECT conv_id, turn_idx,
+               ['user', 'assistant', 'tool'][(turn_idx % 3) + 1] AS role, text
+        FROM t
+    ),
+    c AS (
+        SELECT conv_id, turn_idx, role, text,
+               list(role || ': ' || text) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN {SFT_CONTEXT_TURNS} PRECEDING AND 1 PRECEDING
+               ) AS ctx
+        FROM r
+    )
+    SELECT conv_id, turn_idx,
+           array_to_string(ctx, chr(10)) AS context,
+           text AS response,
+           len(ctx) AS n_context_turns,
+           length(array_to_string(ctx, chr(10))) AS n_context_chars
+    FROM c
+    WHERE role = 'assistant' AND len(ctx) > 0
+"""
+
+
 # Temperature-based language-mixture resampling (the multilingual
 # pretraining mixture of XLM / mBERT): sample languages with
 # probability proportional to p_i^alpha instead of p_i, boosting
@@ -3550,6 +3622,7 @@ DATAOPS_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
     "lang_mixture": q_lang_mixture,
+    "sft_pairs": q_sft_pairs,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -3590,6 +3663,7 @@ DATAOPS_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "lang_mixture": SQL_LANG_MIXTURE,
+    "sft_pairs": SQL_SFT_PAIRS,
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
