@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "lang_mixture",
     "sft_pairs",
+    "hard_negatives",
 ]
 
 

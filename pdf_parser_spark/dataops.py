@@ -579,6 +579,124 @@ SQL_ANN_COSINE_TOPK = f"""
 """
 
 
+# Contrastive-training negatives: for each query, the ranks just past
+# the positives are the "hard" negatives (highest-similarity
+# non-matches — the examples that move a contrastive loss most), plus
+# a deterministic hash-sampled set of uniform "random" negatives.
+NEG_POS_K = 5  # ranks 1..5 are positives (excluded)
+NEG_HARD_K = 5  # ranks 6..10 exported as hard negatives
+NEG_RAND_K = 5  # md5-sampled uniform negatives from the remainder
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard + random negative mining for contrastive embedding
+    training: per query, `hard` = cosine ranks NEG_POS_K+1 ..
+    NEG_POS_K+NEG_HARD_K (the near-misses), `random` = NEG_RAND_K
+    uniform negatives drawn by md5 order from everything ranked below
+    the hard band. neg_rank restarts at 1 within each label so the
+    export is directly consumable as (query, positive-set, negatives)
+    triplets.
+
+    Scale: the gate shape ranks the full broadcast-join score table
+    (same plan as q_ann_cosine_topk — queries broadcast, corpus never
+    shuffles). At 100 TB the hard band comes from the ANN candidate
+    ranking instead of the exact one (rank the LSH/IVF candidate set —
+    a few % of the corpus), and the random band from a pure hash
+    THRESHOLD scan (keep h < K/n·2^60: no ranking, one projection);
+    the window form here is the exact audit twin of that pipeline."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    hard = (
+        ranked.filter(
+            (F.col("rank") > NEG_POS_K) & (F.col("rank") <= NEG_POS_K + NEG_HARD_K)
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("hard").alias("label"),
+            (F.col("rank") - NEG_POS_K).cast("long").alias("neg_rank"),
+            "cosine",
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("query_id").cast("string"),
+                    F.lit("|"),
+                    F.col("neighbor_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wr = Window.partitionBy("query_id").orderBy(F.col("h"), F.col("neighbor_id"))
+    rand = (
+        ranked.filter(F.col("rank") > NEG_POS_K + NEG_HARD_K)
+        .withColumn("h", h)
+        .withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= NEG_RAND_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("random").alias("label"),
+            F.col("rr").cast("long").alias("neg_rank"),
+            "cosine",
+        )
+    )
+    return hard.unionByName(rand)
+
+
+SQL_HARD_NEGATIVES = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, 'hard' AS label,
+           CAST(rank - {NEG_POS_K} AS BIGINT) AS neg_rank, cosine
+    FROM ranked
+    WHERE rank > {NEG_POS_K} AND rank <= {NEG_POS_K + NEG_HARD_K}
+    UNION ALL
+    SELECT query_id, neighbor_id, 'random' AS label,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(('0x' || substr(md5('neg|' || CAST(query_id AS VARCHAR)
+                              || '|' || CAST(neighbor_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        neighbor_id) AS BIGINT) AS neg_rank,
+           cosine
+    FROM ranked
+    WHERE rank > {NEG_POS_K + NEG_HARD_K}
+    QUALIFY neg_rank <= {NEG_RAND_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search 2: LSH-bucketed top-k (the scale path)
 # ---------------------------------------------------------------------------
@@ -3623,6 +3741,7 @@ DATAOPS_QUERIES = {
     "domain_cap": q_domain_cap,
     "lang_mixture": q_lang_mixture,
     "sft_pairs": q_sft_pairs,
+    "hard_negatives": q_hard_negatives,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -3664,6 +3783,7 @@ DATAOPS_ORACLES = {
     "domain_cap": SQL_DOMAIN_CAP,
     "lang_mixture": SQL_LANG_MIXTURE,
     "sft_pairs": SQL_SFT_PAIRS,
+    "hard_negatives": SQL_HARD_NEGATIVES,
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
