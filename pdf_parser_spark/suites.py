@@ -48,6 +48,7 @@ from .dataops import (
     SQL_HIST_QUANTILES,
     SQL_KMV_DISTINCT_USERS,
     SQL_LANG_ID,
+    SQL_LANG_MIXTURE,
     SQL_STRATIFIED_SAMPLE,
     SQL_TEXT_QUALITY,
     SQL_TEXT_REPETITION,
@@ -65,6 +66,7 @@ from .dataops import (
     q_embedding_pca1,
     q_hist_quantiles,
     q_kmv_distinct_users,
+    q_lang_mixture,
     q_weighted_sample,
     winnow_frame,
 )
@@ -276,6 +278,9 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``wsample_kept``, is membership in the length-weighted priority
     sample (q_weighted_sample) — its <=WSAMPLE_K id list arrives as a
     TakeOrderedAndProject subresult and AQE broadcasts the join back.
+    The fifth member (round 4), ``mix_keep``, is the temperature-0.5
+    language-mixture keep flag (q_lang_mixture) — a |langs|-row rate
+    table broadcast onto the same doc grain.
     Oracle = the members' SQL left-joined on doc_id."""
     bucket = _doc_hash_bucket(100)
     split = (
@@ -295,6 +300,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws_ids = q_weighted_sample(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("_ws")
     )
+    mix = q_lang_mixture(spark, sf_dir).select("doc_id", "mix_keep")
     return (
         _docs(spark, sf_dir)
         .select(
@@ -316,6 +322,10 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cap_rank"),
             F.coalesce(F.col("_ws"), F.lit(False)).alias("wsample_kept"),
         )
+        .join(mix, "doc_id", "left")
+        .withColumn(
+            "mix_keep", F.coalesce(F.col("mix_keep"), F.lit(0)).cast("long")
+        )
     )
 
 
@@ -323,11 +333,13 @@ SQL_CORPUS_ASSEMBLY = f"""
     SELECT s.doc_id, s.split,
            (m.doc_id IS NOT NULL) AS sample_kept,
            CAST(coalesce(c.rk, 0) AS BIGINT) AS cap_rank,
-           (ws.doc_id IS NOT NULL) AS wsample_kept
+           (ws.doc_id IS NOT NULL) AS wsample_kept,
+           CAST(coalesce(mx.mix_keep, 0) AS BIGINT) AS mix_keep
     FROM ({SQL_TRAIN_TEST_SPLIT}) s
     LEFT JOIN ({SQL_STRATIFIED_SAMPLE}) m USING (doc_id)
     LEFT JOIN ({SQL_DOMAIN_CAP}) c USING (doc_id)
     LEFT JOIN ({SQL_WEIGHTED_SAMPLE}) ws USING (doc_id)
+    LEFT JOIN (SELECT doc_id, mix_keep FROM ({SQL_LANG_MIXTURE})) mx USING (doc_id)
 """
 
 
