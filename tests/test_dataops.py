@@ -848,3 +848,33 @@ def test_lang_mixture_temperature_semantics(spark):
     mean = per["n"] * per["rate"]
     sigma = np.sqrt(per["n"] * per["rate"] * (1 - per["rate"]))
     assert (abs(per["kept"] - mean) <= 5 * sigma + 1).all(), per
+
+
+def test_hard_negatives_band_structure(spark):
+    """Negative-mining invariants: exactly NEG_HARD_K hard and
+    NEG_RAND_K random negatives per query, neg_rank dense from 1
+    within each label, no negative overlaps the top-NEG_POS_K
+    positives, and every random negative's cosine is <= every hard
+    negative's cosine for the same query (randoms are drawn strictly
+    below the hard band)."""
+    from pdf_parser_spark.dataops import (
+        NEG_HARD_K,
+        NEG_POS_K,
+        NEG_RAND_K,
+        q_ann_cosine_topk,
+        q_hard_negatives,
+    )
+
+    neg = q_hard_negatives(spark, SF_DIR).toPandas()
+    pos = q_ann_cosine_topk(spark, SF_DIR).toPandas()
+    top = pos[pos["rank"] <= NEG_POS_K]
+    pos_pairs = set(zip(top["query_id"], top["neighbor_id"]))
+    for qid, grp in neg.groupby("query_id"):
+        hard = grp[grp["label"] == "hard"]
+        rand = grp[grp["label"] == "random"]
+        assert len(hard) == NEG_HARD_K and len(rand) == NEG_RAND_K
+        assert sorted(hard["neg_rank"]) == list(range(1, NEG_HARD_K + 1))
+        assert sorted(rand["neg_rank"]) == list(range(1, NEG_RAND_K + 1))
+        assert rand["cosine"].max() <= hard["cosine"].min() + 1e-9
+    neg_pairs = set(zip(neg["query_id"], neg["neighbor_id"]))
+    assert not (neg_pairs & pos_pairs)
