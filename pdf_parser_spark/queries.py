@@ -762,9 +762,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is derived from lineitem: unit_cost = min over that (part,
     supplier)'s lines of l_extendedprice / l_quantity (an IEEE-exact
     division of identical inputs, so the doubles are bit-identical in
-    both engines and the equality join on the min is deterministic).
-    Scale: the part-supplier aggregation is one shuffle on (partkey,
-    suppkey); the per-part min re-aggregates the already-tiny result;
+    both engines and the equality against the min is deterministic).
+    The per-part minimum is a WINDOW aggregate over the already-
+    aggregated part-supplier rows, not a re-aggregate + self-join —
+    the self-join form re-derives the whole lineitem aggregation for
+    its second input (no exchange reuse across differing aggregates),
+    doubling the scan; the window reuses the same shuffled rows.
+    Scale: ONE shuffle on (partkey, suppkey) for the aggregation, the
+    window re-partitions the tiny ps result on partkey;
     suppliers/nations/regions broadcast."""
     suppliers = _supplier_region(spark, sf_dir, "EUROPE").select(
         "s_suppkey", "s_name", "s_acctbal", "n_name"
@@ -776,13 +781,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    min_cost = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    w_min = Window.partitionBy("l_partkey")
     return (
-        ps.join(
-            min_cost,
-            (ps.l_partkey == min_cost.l_partkey) & (ps.unit_cost == min_cost.min_cost),
-        )
-        .drop(min_cost.l_partkey)
+        ps.withColumn("min_cost", F.min("unit_cost").over(w_min))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
@@ -1599,14 +1601,17 @@ ORACLES: dict[str, str] = {
             FROM lineitem JOIN supp ON l_suppkey = s_suppkey
             GROUP BY 1, 2, 3, 4, 5
         ),
-        mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
-        SELECT round(ps.s_acctbal, 2) AS s_acctbal, ps.s_name, ps.n_name,
-               p.p_partkey, p.p_name, round(ps.unit_cost, 6) AS unit_cost
-        FROM ps
-        JOIN mc ON ps.l_partkey = mc.l_partkey AND ps.unit_cost = mc.min_cost
-        JOIN part p ON ps.l_partkey = p.p_partkey
-        WHERE p.p_type = 'STANDARD'
-        ORDER BY s_acctbal DESC, ps.n_name ASC, ps.s_name ASC, p.p_partkey ASC
+        mc AS (
+            SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+            FROM ps
+        )
+        SELECT round(mc.s_acctbal, 2) AS s_acctbal, mc.s_name, mc.n_name,
+               p.p_partkey, p.p_name, round(mc.unit_cost, 6) AS unit_cost
+        FROM mc
+        JOIN part p ON mc.l_partkey = p.p_partkey
+        WHERE mc.unit_cost = mc.min_cost
+          AND p.p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, mc.n_name ASC, mc.s_name ASC, p.p_partkey ASC
         LIMIT 100
     """,
     "tpch_q7": """
