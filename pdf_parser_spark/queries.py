@@ -986,7 +986,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar-max equality — suppliers whose quarterly revenue equals
     the global maximum. Revenue is rounded to 2 dp BEFORE the max/
     equality on both sides, so the comparison is between identical
-    doubles. One shuffle for the view; the max is a 1-row broadcast."""
+    doubles. One shuffle for the view; the max is a 1-row broadcast.
+    The |suppliers|-row revenue view is localCheckpoint'ed so the max
+    and the equality filter read ONE materialization instead of each
+    re-scanning the lineitem quarter (Catalyst does not reuse a
+    subtree consumed by two different aggregates)."""
     rev = (
         _t(spark, sf_dir, "lineitem")
         .filter(
@@ -998,6 +1002,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supplier = _t(spark, sf_dir, "supplier")
@@ -1044,11 +1049,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist; Brand#3 is the filter). Deterministic: quantities are
     integral so the per-part mean is an exactly-rounded division, and
     0.2*avg is exactly rounded from identical inputs. The per-part avg
-    joins back broadcast (≤|parts of one brand| rows)."""
+    joins back broadcast (≤|parts of one brand| rows). The brand-
+    filtered line table is localCheckpoint'ed — the avg subquery and
+    the main scan would otherwise each re-run the lineitem⋈part
+    filter (no subtree reuse across differing consumers)."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = _t(spark, sf_dir, "lineitem").join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
-    )
+    ).localCheckpoint(eager=True)
     avg_q = li.groupBy("p_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
         li.join(F.broadcast(avg_q.withColumnRenamed("p_partkey", "ap")), F.col("l_partkey") == F.col("ap"))
