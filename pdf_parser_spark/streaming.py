@@ -273,6 +273,79 @@ def stream_hist_cells(events: DataFrame, bounds: DataFrame) -> DataFrame:
     return binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
 
 
+def stream_sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Streaming twin of dataops.q_sft_pairs: per-conversation state is
+    the last ≤SFT_CONTEXT_TURNS rendered "role: text" strings; every
+    assistant turn with a non-empty context emits its (context,
+    response) training pair as it arrives. The batch op's bounded ROWS
+    frame becomes a bounded state list — ≤4 strings per live
+    conversation regardless of conversation length or stream length,
+    so a 10^12-turn stream holds state proportional to LIVE
+    conversations only.
+
+    In-order premise (same as stream_funnel_state): turns of a
+    conversation arrive in turn_idx order across microbatches (the
+    file source replays mtime-ordered batches; a production source
+    with late turns would front a dropDuplicates/watermark reorder
+    stage). test_stream_sft_pairs_match_batch pins streamed pairs ==
+    batch q_sft_pairs on the replayed corpus."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .dataops import SFT_CONTEXT_TURNS
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("context", T.StringType(), False),
+            T.StructField("response", T.StringType(), False),
+            T.StructField("n_context_turns", T.IntegerType(), False),
+            T.StructField("n_context_chars", T.IntegerType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ctx", T.ArrayType(T.StringType()), True)]
+    )
+
+    def pairs(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        ctx = list(state.get[0]) if state.exists else []
+        rows = []
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        for r in pdf.itertuples():
+            if r.role == "assistant" and ctx:
+                joined = "\n".join(ctx)
+                rows.append(
+                    (conv_id, int(r.turn_idx), joined, r.text, len(ctx), len(joined))
+                )
+            ctx.append(f"{r.role}: {r.text}")
+            if len(ctx) > SFT_CONTEXT_TURNS:
+                ctx = ctx[-SFT_CONTEXT_TURNS:]
+        state.update((ctx,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id",
+                    "turn_idx",
+                    "context",
+                    "response",
+                    "n_context_turns",
+                    "n_context_chars",
+                ],
+            )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        pairs,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_funnel_state(events: DataFrame) -> DataFrame:
     """Streaming funnel (view -> click -> purchase) via
     ``applyInPandasWithState``: per-user state is THREE epoch-micro

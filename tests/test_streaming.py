@@ -443,3 +443,58 @@ def test_stream_cms_matches_batch_sketch(spark, input_dir, tmp_path):
         for r in stream_cms_cells(spark.read.parquet(input_dir)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_sft_pairs_match_batch(spark, tmp_path):
+    """SFT pair assembly streamed over turn-ordered microbatches must
+    emit EXACTLY the batch q_sft_pairs rows for the same corpus —
+    same pairs, same contexts, byte-for-byte — with state bounded at
+    <=4 rendered turns per conversation. The corpus is split into 4
+    sequential turn_idx ranges so every conversation's context window
+    crosses at least one microbatch boundary."""
+    from pdf_parser_spark.dataops import q_sft_pairs
+    from pdf_parser_spark.pipeline import transcripts_from_documents
+    from pdf_parser_spark.streaming import stream_sft_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    in_dir = str(tmp_path / "sft_in")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_time_ordered_files(spark, t, "turn_idx", in_dir)
+
+    src = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out = str(tmp_path / "sft_out")
+    ckpt = str(tmp_path / "sft_ckpt")
+    q = (
+        stream_sft_pairs(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cols = ["conv_id", "turn_idx", "context", "response",
+            "n_context_turns", "n_context_chars"]
+    streamed = (
+        spark.read.parquet(out)
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        q_sft_pairs(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch) > 0
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
