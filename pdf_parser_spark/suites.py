@@ -32,6 +32,7 @@ from .dataops import (
     EN_STOP,
     ES_STOP,
     FR_STOP,
+    SQL_HARD_NEGATIVES,
     SQL_INCREMENTAL_DEDUP,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
@@ -66,6 +67,7 @@ from .dataops import (
     q_embedding_pca1,
     q_hist_quantiles,
     q_kmv_distinct_users,
+    q_hard_negatives,
     q_lang_mixture,
     q_weighted_sample,
     winnow_frame,
@@ -835,18 +837,70 @@ def q_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     PC1 projection (4 unrolled power-iteration steps over the
     quantized-integer covariance). Both members keep their own passes
     — their aggregation grains differ — and join on the narrow
-    (vec_id) result. Oracle = the members' SQL joined."""
+    (vec_id) result. The third member (round 4) is negative mining
+    (q_hard_negatives): for query vectors, the rank-ordered hard- and
+    random-negative id lists arrive as two comma-joined string columns
+    ('' for non-query vectors), so the mined ordering is value-hashed
+    in the gate without changing the suite's per-vector grain. The
+    ≤|queries|·(hard+rand)-row negatives table is localCheckpoint'ed
+    once — its hard and random halves are two different consumers.
+    Oracle = the members' SQL joined."""
     km = q_embedding_kmeans(spark, sf_dir)
     pca = q_embedding_pca1(spark, sf_dir)
-    return km.join(pca, "vec_id").select(
-        "vec_id", "cluster", "cosine", "pc1_proj"
+    negs = q_hard_negatives(spark, sf_dir).localCheckpoint(eager=True)
+
+    def _ids(label: str, out: str):
+        ordered = F.array_sort(
+            F.collect_list(F.struct(F.col("neg_rank"), F.col("neighbor_id")))
+        )
+        return (
+            negs.filter(F.col("label") == label)
+            .groupBy("query_id")
+            .agg(
+                F.array_join(
+                    F.transform(ordered, lambda s: s["neighbor_id"].cast("string")),
+                    ",",
+                ).alias(out)
+            )
+        )
+
+    hard = _ids("hard", "hard_neg_ids")
+    rand = _ids("random", "rand_neg_ids")
+    return (
+        km.join(pca, "vec_id")
+        .join(F.broadcast(hard), km.vec_id == hard.query_id, "left")
+        .drop(hard.query_id)
+        .join(F.broadcast(rand), km.vec_id == rand.query_id, "left")
+        .drop(rand.query_id)
+        .select(
+            "vec_id",
+            "cluster",
+            "cosine",
+            "pc1_proj",
+            F.coalesce(F.col("hard_neg_ids"), F.lit("")).alias("hard_neg_ids"),
+            F.coalesce(F.col("rand_neg_ids"), F.lit("")).alias("rand_neg_ids"),
+        )
     )
 
 
 SQL_EMBEDDING_SUITE = f"""
-    SELECT km.vec_id, km.cluster, km.cosine, p.pc1_proj
+    SELECT km.vec_id, km.cluster, km.cosine, p.pc1_proj,
+           coalesce(hn.hard_neg_ids, '') AS hard_neg_ids,
+           coalesce(rn.rand_neg_ids, '') AS rand_neg_ids
     FROM ({DATAOPS_ORACLES["embedding_kmeans"]}) km
     JOIN ({DATAOPS_ORACLES["embedding_pca1"]}) p USING (vec_id)
+    LEFT JOIN (
+        SELECT query_id,
+               string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY neg_rank)
+                   AS hard_neg_ids
+        FROM ({SQL_HARD_NEGATIVES}) WHERE label = 'hard' GROUP BY query_id
+    ) hn ON km.vec_id = hn.query_id
+    LEFT JOIN (
+        SELECT query_id,
+               string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY neg_rank)
+                   AS rand_neg_ids
+        FROM ({SQL_HARD_NEGATIVES}) WHERE label = 'random' GROUP BY query_id
+    ) rn ON km.vec_id = rn.query_id
 """
 
 
