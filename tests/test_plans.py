@@ -98,3 +98,34 @@ def test_cms_estimates_via_broadcast_of_candidates(spark):
     plan = _plan(DATAOPS_QUERIES["cms_heavy_hitters"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # the candidate top-k itself
+
+
+def test_tpch_completion_set_plan_shapes(spark):
+    """Round-4 TPC-H additions, the plan properties their docstrings
+    claim: Q2/Q18-style top-k compiles to TakeOrderedAndProject; Q21's
+    EXISTS/NOT-EXISTS pair compiles to one LeftSemi + one LeftAnti
+    (the probe side is never duplicated); Q16's supplier blocklist is
+    a LeftAnti, its distinct count a single aggregation chain; Q9's
+    dim joins broadcast part/supplier rather than shuffling
+    lineitem."""
+    plan2 = _plan(QUERIES["tpch_q2"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan2
+    plan21 = _plan(QUERIES["tpch_q21"](spark, SF_DIR))
+    assert re.search(r"Join LeftSemi", plan21), plan21
+    assert re.search(r"Join LeftAnti", plan21), plan21
+    assert "TakeOrderedAndProject" in plan21
+    plan16 = _plan(QUERIES["tpch_q16"](spark, SF_DIR))
+    assert re.search(r"Join LeftAnti", plan16), plan16
+    plan9 = _plan(QUERIES["tpch_q9"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan9
+
+
+def test_lang_mixture_single_scan_shape(spark):
+    """The mixture keep decision must cost one corpus-sized pass: the
+    rate table joins back via broadcast (never a shuffle of the
+    documents side keyed on lang)."""
+    plan = _plan(DATAOPS_QUERIES["lang_mixture"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # no exchange partitions the corpus on lang (only aggregation
+    # exchanges over the tiny counts table are allowed)
+    assert not re.search(r"Exchange hashpartitioning\(lang#\d+, \d+\)", plan), plan
