@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "lang_mixture",
     "sft_pairs",
     "hard_negatives",
+    "dup_spans",
 ]
 
 

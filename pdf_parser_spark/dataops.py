@@ -2595,6 +2595,132 @@ SQL_SPAN_DEDUP = f"""
 """
 
 
+# Maximal duplicated spans (ExactSubstr, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better"): q_span_dedup answers
+# "how duplicated is this doc"; this op answers "WHICH token ranges to
+# cut" — the remove-pass input.
+DUP_SPAN_GRAM = 3  # positional n-gram width
+DUP_SPAN_MIN_TOKENS = 5  # report only maximal spans covering >= 5 tokens
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token spans: a position is
+    duplicated if its DUP_SPAN_GRAM-gram also appears in a lower
+    doc_id (first-writer-wins, consistent with q_span_dedup);
+    duplicated positions whose GRAM-token coverage overlaps or touches
+    (position gap ≤ GRAM) merge into maximal [start_tok, end_tok)
+    token spans via gaps-and-islands (lag gap-test + running sum —
+    one sort per doc, no iterative merging), so the emitted spans are
+    DISJOINT and non-adjacent in token space — directly consumable as
+    cut ranges. Spans covering fewer than DUP_SPAN_MIN_TOKENS tokens
+    are dropped.
+
+    Scale: one groupBy(gram) min-reduction (map-side combinable), one
+    co-partitioned join back, one per-doc window over only the
+    DUPLICATED positions (a small fraction of tokens in a healthy
+    corpus); all-integer arithmetic so the oracle is exact. A true
+    Lee-et-al suffix-array pass finds arbitrary-length repeats without
+    a gram width; the positional-gram form finds every repeat of
+    length ≥ GRAM with O(corpus) state, which is the standard
+    distributed compromise (the gram width trades index size for the
+    shortest detectable repeat)."""
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = _tokens_col()
+    n = DUP_SPAN_GRAM
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.withColumn("garr", gram_arr).select(
+        "doc_id", F.posexplode(F.col("garr")).alias("pos", "g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    dup_pos = (
+        grams.join(first, "g")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = (
+        F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_GRAM
+    ).cast("int")
+    runs = dup_pos.withColumn(
+        "run_key",
+        F.sum(F.coalesce(new_run, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = (
+        runs.groupBy("doc_id", "run_key")
+        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + n).alias("end_tok"))
+        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
+    )
+    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_id).cast("long").alias("span_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_DUP_SPANS = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) < {DUP_SPAN_GRAM} THEN []
+                          ELSE list_transform(
+                              range(1, len(toks) - {DUP_SPAN_GRAM} + 2),
+                              i -> struct_pack(
+                                  pos := i - 1,
+                                  g := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                          END) AS u
+            FROM d
+        )
+    ),
+    first_ AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+    dup_pos AS (
+        SELECT doc_id, pos FROM grams JOIN first_ USING (g)
+        WHERE doc_id > first_doc
+    ),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > {DUP_SPAN_GRAM} THEN 1 ELSE 0 END AS new_run
+        FROM dup_pos
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS run_key
+        FROM marks
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS start_tok, max(pos) + {DUP_SPAN_GRAM} AS end_tok
+        FROM runs GROUP BY doc_id, run_key
+        HAVING max(pos) + {DUP_SPAN_GRAM} - min(pos) >= {DUP_SPAN_MIN_TOKENS}
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+                AS BIGINT) AS span_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(end_tok AS BIGINT) AS end_tok,
+           CAST(end_tok - start_tok AS BIGINT) AS n_tokens
+    FROM spans
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pivot surface (wide-format counts; Catalyst rewrites to one aggregate)
 # ---------------------------------------------------------------------------
@@ -3732,6 +3858,7 @@ DATAOPS_QUERIES = {
     "embedding_pca1": q_embedding_pca1,
     "contamination_check": q_contamination_check,
     "span_dedup": q_span_dedup,
+    "dup_spans": q_dup_spans,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -3774,6 +3901,7 @@ DATAOPS_ORACLES = {
     "embedding_pca1": SQL_EMBEDDING_PCA1,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "span_dedup": SQL_SPAN_DEDUP,
+    "dup_spans": SQL_DUP_SPANS,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,

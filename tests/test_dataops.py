@@ -878,3 +878,30 @@ def test_hard_negatives_band_structure(spark):
         assert rand["cosine"].max() <= hard["cosine"].min() + 1e-9
     neg_pairs = set(zip(neg["query_id"], neg["neighbor_id"]))
     assert not (neg_pairs & pos_pairs)
+
+
+def test_dup_spans_maximal_and_consistent(spark):
+    """Dup-span invariants: spans within a doc are disjoint AND
+    non-adjacent (maximality — an adjacent pair would have merged),
+    every span covers >= DUP_SPAN_MIN_TOKENS tokens, span_id is dense
+    by start order, and every doc with a span is flagged duplicated
+    (n_dup > 0) by q_span_dedup (same gram rule at the doc grain)."""
+    from pdf_parser_spark.dataops import (
+        DUP_SPAN_MIN_TOKENS,
+        q_dup_spans,
+        q_span_dedup,
+    )
+
+    spans = q_dup_spans(spark, SF_DIR).toPandas()
+    assert len(spans) > 0
+    assert (spans["n_tokens"] >= DUP_SPAN_MIN_TOKENS).all()
+    assert (spans["end_tok"] - spans["start_tok"] == spans["n_tokens"]).all()
+    for doc_id, grp in spans.groupby("doc_id"):
+        g = grp.sort_values("start_tok")
+        assert list(g["span_id"]) == list(range(1, len(g) + 1))
+        # maximality: next span starts strictly after this one ends
+        # (equal would mean two runs that should have merged)
+        assert (g["start_tok"].shift(-1)[:-1] > g["end_tok"][:-1]).all()
+    dedup = q_span_dedup(spark, SF_DIR).toPandas().set_index("doc_id")
+    for doc_id in spans["doc_id"].unique():
+        assert dedup.loc[doc_id, "n_dup"] > 0
