@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "sft_pairs",
     "hard_negatives",
     "dup_spans",
+    "dup_span_scrub",
 ]
 
 

@@ -2721,6 +2721,79 @@ SQL_DUP_SPANS = f"""
 """
 
 
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove pass over q_dup_spans: rebuild each document's token
+    stream with every duplicated span cut out (Lee et al.'s ExactSubstr
+    dedup actually APPLIED, not just reported). Per doc: original token
+    count, tokens removed, and the cleaned text (kept tokens space-
+    joined — the tokenizer is lossy about original whitespace/case by
+    design; the cleaned stream is what a training pipeline consumes).
+
+    Scale: the spans-per-doc list is collected per doc (bounded by the
+    doc's own span count), broadcast-joined back onto the corpus scan,
+    and the cut is a pure array-lambda projection — token i survives
+    iff no span covers it; no per-row Python, no extra shuffle beyond
+    q_dup_spans' own."""
+    spans_arr = (
+        q_dup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start_tok"), F.col("end_tok")))
+            ).alias("spans")
+        )
+    )
+    toks = _tokens_col()
+    empty = F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+    spans_col = F.coalesce(F.col("spans"), empty)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_col, lambda s: (s["start_tok"] <= i) & (i < s["end_tok"])
+        ),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(spans_arr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens_orig"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
+SQL_DUP_SPAN_SCRUB = f"""
+    WITH ds AS (
+        SELECT doc_id,
+               list(struct_pack(start_tok := start_tok, end_tok := end_tok)
+                    ORDER BY start_tok) AS spans
+        FROM ({SQL_DUP_SPANS}) GROUP BY doc_id
+    ),
+    cut AS (
+        SELECT d.doc_id,
+               regexp_extract_all(lower(d.text), '{TOKEN_RE}') AS toks,
+               coalesce(ds.spans, []) AS spans
+        FROM documents d LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens_orig,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed,
+           -- DuckDB's array_to_string of an EMPTY list is NULL where
+           -- Spark's array_join is '' — normalize fully-scrubbed docs
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM (
+        SELECT doc_id, toks,
+               list_filter(toks, (x, i) ->
+                   len(list_filter(spans,
+                       s -> s.start_tok <= i - 1 AND i - 1 < s.end_tok)) = 0
+               ) AS kept
+        FROM cut
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pivot surface (wide-format counts; Catalyst rewrites to one aggregate)
 # ---------------------------------------------------------------------------
@@ -3859,6 +3932,7 @@ DATAOPS_QUERIES = {
     "contamination_check": q_contamination_check,
     "span_dedup": q_span_dedup,
     "dup_spans": q_dup_spans,
+    "dup_span_scrub": q_dup_span_scrub,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -3902,6 +3976,7 @@ DATAOPS_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "span_dedup": SQL_SPAN_DEDUP,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -905,3 +905,27 @@ def test_dup_spans_maximal_and_consistent(spark):
     dedup = q_span_dedup(spark, SF_DIR).toPandas().set_index("doc_id")
     for doc_id in spans["doc_id"].unique():
         assert dedup.loc[doc_id, "n_dup"] > 0
+
+
+def test_dup_span_scrub_accounting(spark):
+    """The scrub must remove EXACTLY the reported spans: per doc,
+    n_tokens_removed equals the summed span lengths from q_dup_spans
+    (spans are disjoint, so lengths add), the cleaned token count is
+    orig - removed, and untouched docs pass through with their full
+    token stream."""
+    from pdf_parser_spark.dataops import q_dup_span_scrub, q_dup_spans
+
+    scrub = q_dup_span_scrub(spark, SF_DIR).toPandas().set_index("doc_id")
+    span_sum = (
+        q_dup_spans(spark, SF_DIR)
+        .toPandas()
+        .groupby("doc_id")["n_tokens"]
+        .sum()
+    )
+    for doc_id, row in scrub.iterrows():
+        want = int(span_sum.get(doc_id, 0))
+        assert row["n_tokens_removed"] == want, doc_id
+        n_clean = len(row["cleaned_text"].split()) if row["cleaned_text"] else 0
+        assert n_clean == row["n_tokens_orig"] - row["n_tokens_removed"], doc_id
+    assert (scrub["n_tokens_removed"] > 0).any()
+    assert (scrub["n_tokens_removed"] == 0).any()
