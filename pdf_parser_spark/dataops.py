@@ -2623,7 +2623,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a gram width; the positional-gram form finds every repeat of
     length ≥ GRAM with O(corpus) state, which is the standard
     distributed compromise (the gram width trades index size for the
-    shortest detectable repeat)."""
+    shortest detectable repeat).
+
+    The gram array is localCheckpoint'ed BEFORE the posexplode: the
+    same CollapseProject pathology the winnow build documents —
+    Generate over the collapsed transform re-evaluates the whole
+    O(len) gram expression per OUTPUT row (quadratic per doc), and the
+    unmaterialized subtree would additionally run once per join side.
+    Measured at sf0.1: 23 s unstaged → sub-second staged."""
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     toks = _tokens_col()
     n = DUP_SPAN_GRAM
@@ -2636,9 +2643,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.withColumn("garr", gram_arr).select(
-        "doc_id", F.posexplode(F.col("garr")).alias("pos", "g")
+    garr = (
+        docs.select("doc_id", gram_arr.alias("garr")).localCheckpoint(eager=True)
     )
+    grams = garr.select("doc_id", F.posexplode(F.col("garr")).alias("pos", "g"))
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     dup_pos = (
         grams.join(first, "g")
