@@ -2519,7 +2519,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-span dedup: a doc's 3-gram is a duplicate if a
     LOWER doc_id also contains it (first-occurrence-wins, the C4 rule
     at span granularity). Per doc: distinct grams, duplicated grams,
-    dup_ratio, and the keep verdict (dup_ratio <= 0.5).
+    dup_ratio, and the keep verdict (dup_ratio <= 0.5). Round 4: the
+    gate key also carries the ExactSubstr pipeline's per-doc summary —
+    maximal span count, tokens removed, and the md5 of the scrubbed
+    text (q_dup_spans / q_dup_span_scrub) — so the whole
+    detect-and-cut path is value-hashed in the driver gate at the doc
+    grain.
 
     Scale: one groupBy(gram) with a map-side-combinable min(doc_id) —
     the canonical first-writer-wins reduction — then one co-partitioned
@@ -2551,6 +2556,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
         6,
     )
+    scrub = q_dup_span_scrub(spark, sf_dir).select(
+        "doc_id",
+        "n_spans",
+        "n_tokens_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -2561,10 +2572,11 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio.alias("dup_ratio"),
             (ratio <= SPAN_DEDUP_KEEP_MAX).alias("keep"),
         )
+        .join(scrub, "doc_id")
     )
 
 
-SQL_SPAN_DEDUP = f"""
+_SQL_SPAN_DEDUP_BASE = f"""
     WITH grams AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                    range(0, greatest(len(toks) - 2, 0)),
@@ -2765,6 +2777,7 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spans_arr, "doc_id", "left")
         .select(
             "doc_id",
+            F.size(spans_col).cast("long").alias("n_spans"),
             F.size(toks).cast("long").alias("n_tokens_orig"),
             (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
             F.array_join(kept, " ").alias("cleaned_text"),
@@ -2786,19 +2799,32 @@ SQL_DUP_SPAN_SCRUB = f"""
         FROM documents d LEFT JOIN ds USING (doc_id)
     )
     SELECT doc_id,
+           CAST(len(spans) AS BIGINT) AS n_spans,
            CAST(len(toks) AS BIGINT) AS n_tokens_orig,
            CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed,
            -- DuckDB's array_to_string of an EMPTY list is NULL where
            -- Spark's array_join is '' — normalize fully-scrubbed docs
            coalesce(array_to_string(kept, ' '), '') AS cleaned_text
     FROM (
-        SELECT doc_id, toks,
+        SELECT doc_id, toks, spans,
                list_filter(toks, (x, i) ->
                    len(list_filter(spans,
                        s -> s.start_tok <= i - 1 AND i - 1 < s.end_tok)) = 0
                ) AS kept
         FROM cut
     )
+"""
+
+
+# The span_dedup GATE key = doc-level verdict + the ExactSubstr
+# pipeline summary (span count, tokens removed, scrubbed-text digest),
+# so detect-and-cut is value-hashed end-to-end at the doc grain.
+SQL_SPAN_DEDUP = f"""
+    SELECT b.doc_id, b.n_grams, b.n_dup, b.dup_ratio, b.keep,
+           sc.n_spans, sc.n_tokens_removed,
+           md5(sc.cleaned_text) AS cleaned_md5
+    FROM ({_SQL_SPAN_DEDUP_BASE}) b
+    JOIN ({SQL_DUP_SPAN_SCRUB}) sc USING (doc_id)
 """
 
 
