@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "dup_spans",
     "dup_span_scrub",
+    "incremental_dup_spans",
 ]
 
 

@@ -2816,6 +2816,89 @@ SQL_DUP_SPAN_SCRUB = f"""
 """
 
 
+def q_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generational ExactSubstr: extract duplicated spans ONLY for the
+    newest ingest generation (md5-bucket(doc_id) % INC_NEW_BUCKETS ==
+    0, same split as q_incremental_dedup) without recomputing the
+    full positional census. First-writer evidence for a new doc d at
+    gram g is least(base_first(g), new_first(g)) < d, where
+    base_first is the persisted per-gram min-doc index (in production
+    read from the index sink; recomputed here from the base split, as
+    the incremental minhash does with its band table) and new_first is
+    the within-generation min — the base × base quadrant, ~99% of the
+    work at a 1% ingest rate, is never touched. RESULT CONTRACT: the
+    full q_dup_spans restricted to new docs (the oracle), because the
+    first-writer rule evaluates identically whichever side min-reduces
+    first. The gram array is localCheckpoint'ed before exploding, same
+    pathology note as q_dup_spans."""
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = _tokens_col()
+    n = DUP_SPAN_GRAM
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_new = _doc_hash_bucket(INC_NEW_BUCKETS) == 0
+    garr = (
+        docs.select("doc_id", gram_arr.alias("garr"), is_new.alias("is_new"))
+        .localCheckpoint(eager=True)
+    )
+    grams = garr.select(
+        "doc_id", "is_new", F.posexplode(F.col("garr")).alias("pos", "g")
+    )
+    base_first = (
+        grams.filter(~F.col("is_new"))
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("base_first"))
+    )
+    new_grams = grams.filter(F.col("is_new"))
+    new_first = new_grams.groupBy("g").agg(F.min("doc_id").alias("new_first"))
+    dup_pos = (
+        new_grams.join(new_first, "g")
+        .join(base_first, "g", "left")
+        .filter(
+            F.least(
+                F.coalesce(F.col("base_first"), F.col("doc_id")), F.col("new_first")
+            )
+            < F.col("doc_id")
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = (F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_GRAM).cast("int")
+    runs = dup_pos.withColumn(
+        "run_key",
+        F.sum(F.coalesce(new_run, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = (
+        runs.groupBy("doc_id", "run_key")
+        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + n).alias("end_tok"))
+        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
+    )
+    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_id).cast("long").alias("span_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_INCREMENTAL_DUP_SPANS = f"""
+    SELECT * FROM ({SQL_DUP_SPANS})
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % {INC_NEW_BUCKETS} = 0
+"""
+
+
 # The span_dedup GATE key = doc-level verdict + the ExactSubstr
 # pipeline summary (span count, tokens removed, scrubbed-text digest),
 # so detect-and-cut is value-hashed end-to-end at the doc grain.
@@ -3967,6 +4050,7 @@ DATAOPS_QUERIES = {
     "span_dedup": q_span_dedup,
     "dup_spans": q_dup_spans,
     "dup_span_scrub": q_dup_span_scrub,
+    "incremental_dup_spans": q_incremental_dup_spans,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -4011,6 +4095,7 @@ DATAOPS_ORACLES = {
     "span_dedup": SQL_SPAN_DEDUP,
     "dup_spans": SQL_DUP_SPANS,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+    "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
