@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "dup_span_scrub",
     "incremental_dup_spans",
+    "corpus_composition",
 ]
 
 

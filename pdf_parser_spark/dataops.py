@@ -2899,6 +2899,61 @@ SQL_INCREMENTAL_DUP_SPANS = f"""
 """
 
 
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit: the (embedding cluster × language)
+    breakdown a data team reads before training — per cell, document
+    count, character volume, and the cell's share of its cluster
+    (int/int division, exactly rounded). Docs map 1:1 to embeddings
+    (doc_id == vec_id in the testdata); the cluster label comes from
+    the deterministic k-means assignment, so the report is
+    hash-stable. One broadcast join of the |docs|-row narrow cluster
+    table onto the documents scan and one small groupBy; the share
+    window runs over ≤|clusters|·|langs| aggregated rows."""
+    km = q_embedding_kmeans(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    cells = (
+        _docs(spark, sf_dir)
+        .join(km, "doc_id")
+        .groupBy("cluster", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        cells.withColumn("cluster_docs", F.sum("n_docs").over(w))
+        .select(
+            "cluster",
+            "lang",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("cluster_docs"), 6).alias("cluster_share"),
+        )
+        .orderBy("cluster", "lang")
+    )
+
+
+def _sql_corpus_composition() -> str:
+    return f"""
+    WITH km AS (
+        SELECT vec_id AS doc_id, cluster
+        FROM ({SQL_EMBEDDING_KMEANS})
+    ),
+    cells AS (
+        SELECT cluster, lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents JOIN km USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT cluster, lang, n_docs, n_chars,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY cluster), 6)
+               AS cluster_share
+    FROM cells
+    ORDER BY cluster, lang
+"""
+
+
 # The span_dedup GATE key = doc-level verdict + the ExactSubstr
 # pipeline summary (span count, tokens removed, scrubbed-text digest),
 # so detect-and-cut is value-hashed end-to-end at the doc grain.
@@ -4051,6 +4106,7 @@ DATAOPS_QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_scrub": q_dup_span_scrub,
     "incremental_dup_spans": q_incremental_dup_spans,
+    "corpus_composition": q_corpus_composition,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -4096,6 +4152,7 @@ DATAOPS_ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
+    "corpus_composition": _sql_corpus_composition(),
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
