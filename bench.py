@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dup_span_scrub",
     "incremental_dup_spans",
     "corpus_composition",
+    "bpe_merges",
 ]
 
 

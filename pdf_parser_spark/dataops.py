@@ -2899,6 +2899,124 @@ SQL_INCREMENTAL_DUP_SPANS = f"""
 """
 
 
+# BPE vocabulary induction (Sennrich et al. 2016): learn the first K
+# merge rules from corpus word frequencies — actual tokenizer TRAINING,
+# not just token counting.
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning over the corpus: start from
+    the character-split word vocabulary weighted by corpus word
+    frequency, then BPE_N_MERGES times pick the most frequent adjacent
+    symbol pair (ties: lexicographic by left then right symbol) and
+    fuse it everywhere. Output: one row per learned merge
+    (step, left_sym, right_sym, pair_count).
+
+    The iteration is driver-paced like the PCA power iteration: each
+    round is one distributed pair-count aggregation over the WEIGHTED
+    VOCABULARY (|distinct words| rows — the classic BPE trick: corpus
+    scale enters only through the one-time word count, every merge
+    round then touches vocab-sized data), a 1-row argmax collect, and
+    a localCheckpoint'ed single-pass merge application
+    (`replace(sym, '|l|r|', '|lr|')` — left-to-right non-overlapping,
+    the same semantics in Spark and DuckDB, applied to the
+    pipe-delimited symbol string). The oracle unrolls the identical
+    rounds as MATERIALIZED CTEs. Determinism: integer counts,
+    lexicographic tie-break, TOKEN_RE symbols never contain the
+    delimiter."""
+    toks = _tokens_col()
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = (
+        words.select(
+            F.expr(
+                "'|' || array_join(transform(sequence(1, length(w)),"
+                " i -> substr(w, i, 1)), '|') || '|'"
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, BPE_N_MERGES + 1):
+        arr = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
+        nsz = F.size(arr)
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.greatest(nsz - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(nsz - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        best = top[0]
+        merges.append((step, best.l, best.r, int(best.cnt)))
+        pat, rep = f"|{best.l}|{best.r}|", f"|{best.l}{best.r}|"
+        vocab = vocab.withColumn(
+            "sym", F.expr(f"replace(sym, '{pat}', '{rep}')")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step long, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _sql_bpe_merges() -> str:
+    """Oracle: the identical rounds unrolled as MATERIALIZED CTEs
+    (each v{t} is read by both b{t+1} and v{t+1} — without
+    materialization the vocabulary expression would re-evaluate
+    exponentially, the same reason the PCA oracle materializes its
+    squarings)."""
+    parts = [
+        f"""WITH v0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]), '|')
+               || '|' AS sym,
+               freq
+        FROM (SELECT w, count(*) AS freq
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+                    FROM documents)
+              GROUP BY w)
+    )"""
+    ]
+    for t in range(1, BPE_N_MERGES + 1):
+        parts.append(f"""b{t} AS MATERIALIZED (
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM (
+            SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+            FROM (SELECT freq,
+                         unnest(list_transform(
+                             range(1, greatest(len(arr) - 1, 0) + 1),
+                             k -> struct_pack(l := arr[k], r := arr[k + 1]))) AS p
+                  FROM (SELECT freq,
+                               list_filter(string_split(sym, '|'), x -> x <> '') AS arr
+                        FROM v{t - 1}))
+            GROUP BY 1, 2)
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    )""")
+        parts.append(f"""v{t} AS MATERIALIZED (
+        SELECT replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
+                       '|' || b{t}.l || b{t}.r || '|') AS sym, freq
+        FROM v{t - 1}, b{t}
+    )""")
+    selects = [
+        f"SELECT CAST({t} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
+        f" cnt AS pair_count FROM b{t}"
+        for t in range(1, BPE_N_MERGES + 1)
+    ]
+    return ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
 def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-composition audit: the (embedding cluster × language)
     breakdown a data team reads before training — per cell, document
@@ -4107,6 +4225,7 @@ DATAOPS_QUERIES = {
     "dup_span_scrub": q_dup_span_scrub,
     "incremental_dup_spans": q_incremental_dup_spans,
     "corpus_composition": q_corpus_composition,
+    "bpe_merges": q_bpe_merges,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -4153,6 +4272,7 @@ DATAOPS_ORACLES = {
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
     "corpus_composition": _sql_corpus_composition(),
+    "bpe_merges": _sql_bpe_merges(),
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
