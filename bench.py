@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "incremental_dup_spans",
     "corpus_composition",
     "bpe_merges",
+    "bpe_tokenize",
 ]
 
 

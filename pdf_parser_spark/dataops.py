@@ -2972,15 +2972,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_merges() -> str:
-    """Oracle: the identical rounds unrolled as MATERIALIZED CTEs
-    (each v{t} is read by both b{t+1} and v{t+1} — without
-    materialization the vocabulary expression would re-evaluate
-    exponentially, the same reason the PCA oracle materializes its
-    squarings)."""
+def _sql_bpe_chain(keep_word: bool = False) -> str:
+    """The unrolled merge-learning rounds as MATERIALIZED CTEs (each
+    v{t} is read by both b{t+1} and v{t+1} — without materialization
+    the vocabulary expression would re-evaluate exponentially, the
+    same reason the PCA oracle materializes its squarings). With
+    ``keep_word`` the word column rides through the chain so consumers
+    can map final symbol strings back to corpus tokens."""
+    wcol = "w, " if keep_word else ""
     parts = [
         f"""WITH v0 AS MATERIALIZED (
-        SELECT '|' || array_to_string(
+        SELECT {wcol}'|' || array_to_string(
                    list_transform(range(1, length(w) + 1), i -> w[i]), '|')
                || '|' AS sym,
                freq
@@ -3005,16 +3007,96 @@ def _sql_bpe_merges() -> str:
         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
     )""")
         parts.append(f"""v{t} AS MATERIALIZED (
-        SELECT replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
+        SELECT {wcol}replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
                        '|' || b{t}.l || b{t}.r || '|') AS sym, freq
         FROM v{t - 1}, b{t}
     )""")
+    return ",\n    ".join(parts)
+
+
+def _sql_bpe_merges() -> str:
     selects = [
         f"SELECT CAST({t} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
         f" cnt AS pair_count FROM b{t}"
         for t in range(1, BPE_N_MERGES + 1)
     ]
-    return ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return _sql_bpe_chain() + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: per doc, word count, BPE token
+    count after the BPE_N_MERGES rules, total token characters, and
+    chars-per-BPE-token (the compression the vocabulary buys). The
+    merge rules arrive as a bounded BPE_N_MERGES-row collect from
+    q_bpe_merges and are applied as a chained replace expression over
+    the DISTINCT-word table (vocab-sized, localCheckpoint'ed), which
+    then broadcast-joins onto the exploded corpus tokens — the
+    standard tokenizer-apply shape: corpus touched once, rules and
+    vocab stay broadcast-sized."""
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in q_bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    expr = "'|' || array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|') || '|'"
+    for l, r in rules:
+        expr = f"replace({expr}, '|{l}|{r}|', '|{l}{r}|')"
+    toks = _tokens_col()
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("w"))
+        .distinct()
+        .withColumn("sym", F.expr(expr))
+        .select(
+            "w",
+            F.size(F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")).alias(
+                "n_sym"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("w"))
+        .join(F.broadcast(words), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("n_token_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_token_chars",
+            F.round(F.col("n_token_chars") / F.col("n_bpe_tokens"), 6).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+    )
+
+
+def _sql_bpe_tokenize() -> str:
+    return (
+        _sql_bpe_chain(keep_word=True)
+        + f""",
+    wn AS (
+        SELECT w, len(list_filter(string_split(sym, '|'), x -> x <> '')) AS n_sym
+        FROM v{BPE_N_MERGES}
+    ),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(w)) AS BIGINT) AS n_token_chars,
+           round(sum(length(w)) * 1.0 / sum(n_sym), 6) AS chars_per_bpe_token
+    FROM dw JOIN wn USING (w)
+    GROUP BY doc_id
+"""
+    )
 
 
 def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,6 +4308,7 @@ DATAOPS_QUERIES = {
     "incremental_dup_spans": q_incremental_dup_spans,
     "corpus_composition": q_corpus_composition,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
     "events_unpivot": q_events_unpivot,
     "text_repetition": q_text_repetition,
@@ -4273,6 +4356,7 @@ DATAOPS_ORACLES = {
     "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
     "corpus_composition": _sql_corpus_composition(),
     "bpe_merges": _sql_bpe_merges(),
+    "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
     "text_repetition": SQL_TEXT_REPETITION,
