@@ -53,12 +53,32 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_extracted_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn extraction output; extracted_text is carried as its md5
     so the self-contained VALUES oracle stays compact — the digest pins
-    the exact bytes (north rule: per-turn text equality)."""
+    the exact bytes (north rule: per-turn text equality). Round 4: the
+    SFT pair-assembly columns ride the same (conv, turn) grain — for
+    assistant turns, the md5s of the bounded-context training pair and
+    the context size (dataops.q_sft_pairs; '' / 0 elsewhere) — so the
+    pair construction is value-hashed in the gate, not only
+    member-pinned."""
+    from pdf_parser_spark.dataops import q_sft_pairs
+
     extracted = extract_turns(transcripts_from_documents(spark, sf_dir), salt_buckets=16, include_blocks=False)
-    return extracted.select(
-        "conv_id", "turn_idx", "turn_seq", "role", "source", "payload_type",
-        "is_fallback", "n_blocks", "n_spans", "n_chars",
-        F.md5("extracted_text").alias("text_md5"),
+    sft = q_sft_pairs(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.md5("context").alias("sft_context_md5"),
+        F.md5("response").alias("sft_response_md5"),
+        F.col("n_context_turns").cast("long").alias("sft_context_turns"),
+    )
+    return (
+        extracted.select(
+            "conv_id", "turn_idx", "turn_seq", "role", "source", "payload_type",
+            "is_fallback", "n_blocks", "n_spans", "n_chars",
+            F.md5("extracted_text").alias("text_md5"),
+        )
+        .join(sft, ["conv_id", "turn_idx"], "left")
+        .withColumn("sft_context_md5", F.coalesce(F.col("sft_context_md5"), F.lit("")))
+        .withColumn("sft_response_md5", F.coalesce(F.col("sft_response_md5"), F.lit("")))
+        .withColumn("sft_context_turns", F.coalesce(F.col("sft_context_turns"), F.lit(0)))
     )
 
 
@@ -264,7 +284,27 @@ def _extraction_oracles() -> dict[str, str]:
         "conv_id", "turn_idx", "turn_seq", "role", "source", "payload_type",
         "is_fallback", "n_blocks", "n_spans", "n_chars", "text_md5",
     ]
-    td_rows = [tuple(r[c] for c in td_cols) for r in turns]
+    # the SFT pair columns (round 4) ride the same (conv, turn) grain:
+    # the independently generated straight-line golden merges into the
+    # one self-contained VALUES table ('' / 0 for non-pair turns)
+    sft = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in _load_golden(f"{_GOLDEN_DIR}/sft_md5_sf0.01.parquet")
+    }
+    td_cols = td_cols + [
+        "sft_context_md5", "sft_response_md5", "sft_context_turns",
+    ]
+    td_rows = []
+    for r in turns:
+        s = sft.get((r["conv_id"], r["turn_idx"]))
+        td_rows.append(
+            tuple(r[c] for c in td_cols[:-3])
+            + (
+                s["context_md5"] if s else "",
+                s["response_md5"] if s else "",
+                int(s["n_context_turns"]) if s else 0,
+            )
+        )
     sql_turns_docs = _values_sql(td_rows, td_cols)
 
     # --- extract_conv_metrics (+ gapfill) ---

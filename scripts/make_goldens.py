@@ -123,6 +123,30 @@ def make(sf_dir: str) -> None:
                 hashlib.md5(ch["text"].encode("utf-8")).hexdigest()
             )
 
+    # --- SFT pair golden (dataops.q_sft_pairs): straight-line replay
+    # of the conversation wrap with a last-4 "role: text" context
+    # window (4 mirrors dataops.SFT_CONTEXT_TURNS); per assistant turn
+    # with context, pin md5(context), md5(response), context size ---
+    sft_rows: dict[str, list] = defaultdict(list)
+    ctxs: dict[str, list] = defaultdict(list)
+    for conv_id, turn_idx, text in _wrap_rows(sf_dir):
+        role = ROLES[turn_idx % 3]
+        ctx = ctxs[conv_id]
+        if role == "assistant" and ctx:
+            joined = "\n".join(ctx)
+            sft_rows["conv_id"].append(conv_id)
+            sft_rows["turn_idx"].append(turn_idx)
+            sft_rows["context_md5"].append(
+                hashlib.md5(joined.encode("utf-8")).hexdigest()
+            )
+            sft_rows["response_md5"].append(
+                hashlib.md5(text.encode("utf-8")).hexdigest()
+            )
+            sft_rows["n_context_turns"].append(len(ctx))
+        ctx.append(f"{role}: {text}")
+        if len(ctx) > 4:
+            del ctx[:-4]
+
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     i32 = pa.int32()
     turns = pa.table(
@@ -160,7 +184,20 @@ def make(sf_dir: str) -> None:
         }
     ).sort_by([("chunk_id", "ascending")])
     pq.write_table(chunks, os.path.join(GOLDEN_DIR, f"chunks_md5_{sf_name}.parquet"))
-    print(f"{sf_name}: {turns.num_rows} turn rows, {chunks.num_rows} chunk rows")
+    sft = pa.table(
+        {
+            "conv_id": pa.array(sft_rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(sft_rows["turn_idx"], i32),
+            "context_md5": pa.array(sft_rows["context_md5"], pa.string()),
+            "response_md5": pa.array(sft_rows["response_md5"], pa.string()),
+            "n_context_turns": pa.array(sft_rows["n_context_turns"], i32),
+        }
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pq.write_table(sft, os.path.join(GOLDEN_DIR, f"sft_md5_{sf_name}.parquet"))
+    print(
+        f"{sf_name}: {turns.num_rows} turn rows, {chunks.num_rows} chunk rows, "
+        f"{sft.num_rows} sft rows"
+    )
 
 
 if __name__ == "__main__":
