@@ -34,6 +34,7 @@ from .dataops import (
     FR_STOP,
     SQL_HARD_NEGATIVES,
     SQL_INCREMENTAL_DEDUP,
+    _sql_bpe_tokenize,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
     _minhash_pairs,
@@ -67,6 +68,7 @@ from .dataops import (
     q_embedding_pca1,
     q_hist_quantiles,
     q_kmv_distinct_users,
+    q_bpe_tokenize,
     q_hard_negatives,
     q_lang_mixture,
     q_weighted_sample,
@@ -207,6 +209,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "avg_logprob", "ppl_proxy"
         ),
         "doc_id",
+    ).join(
+        # the REAL learned-BPE token count beside the regex estimate
+        # (round 4): two-pass by nature (merge rules are corpus
+        # aggregates), so it joins like the unigram member
+        q_bpe_tokenize(spark, sf_dir).select(
+            "doc_id", "n_bpe_tokens", "chars_per_bpe_token"
+        ),
+        "doc_id",
     )
 
 
@@ -216,12 +226,14 @@ SQL_TEXT_METRICS = f"""
            q.quality_score,
            t.ws_tokens, t.word_tokens, t.bpe_est_tokens,
            r.distinct_ratio, r.top_token_frac, r.top_bigram_frac,
-           u.avg_logprob, u.ppl_proxy
+           u.avg_logprob, u.ppl_proxy,
+           b.n_bpe_tokens, b.chars_per_bpe_token
     FROM ({SQL_LANG_ID}) l
     JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
     JOIN ({SQL_TOKEN_COUNT}) t USING (doc_id)
     JOIN ({SQL_TEXT_REPETITION}) r USING (doc_id)
     JOIN ({SQL_UNIGRAM_LOGPROB}) u USING (doc_id)
+    JOIN ({_sql_bpe_tokenize()}) b USING (doc_id)
 """
 
 
