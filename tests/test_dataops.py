@@ -929,3 +929,35 @@ def test_dup_span_scrub_accounting(spark):
         assert n_clean == row["n_tokens_orig"] - row["n_tokens_removed"], doc_id
     assert (scrub["n_tokens_removed"] > 0).any()
     assert (scrub["n_tokens_removed"] == 0).any()
+
+
+def test_bpe_degenerate_corpus(spark, tmp_path):
+    """BPE on a corpus of single-character words learns NO merges (no
+    adjacent pairs exist) and tokenize degrades gracefully: every word
+    is its own single symbol, chars == bpe tokens. Also covers the
+    memo-cache keying by sf_dir (the synthetic dir must not reuse the
+    testdata rules)."""
+    import os
+
+    import pandas as pd
+
+    from pdf_parser_spark.dataops import q_bpe_merges, q_bpe_tokenize
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c a", "c a b"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [7, 5],
+        }
+    )
+    td = str(tmp_path / "bpe_sf")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+    merges = q_bpe_merges(spark, td).toPandas()
+    assert len(merges) == 0
+    tok = q_bpe_tokenize(spark, td).toPandas().sort_values("doc_id")
+    assert list(tok["n_words"]) == [4, 3]
+    assert list(tok["n_bpe_tokens"]) == [4, 3]
+    assert list(tok["n_token_chars"]) == [4, 3]
+    assert (tok["chars_per_bpe_token"] == 1.0).all()
