@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "corpus_composition",
     "bpe_merges",
     "bpe_tokenize",
+    "audio_segments",
 ]
 
 

@@ -307,11 +307,75 @@ SQL_MULTIMODAL_FRAMES = f"""
     FROM v, range({FRAME_SAMPLE_N}) t(i)
 """
 
+AUDIO_SEG_WIN_S = 5.0  # fixed-window audio chunking width
+
+
+def segment_audio(decoded: DataFrame, win_s: float = AUDIO_SEG_WIN_S) -> DataFrame:
+    """Fixed-window audio segmentation plumbing: each audio row fans
+    into ceil(duration/win) segments (media_id, seg_no, t0_s, t1_s),
+    the last clipped to the duration — the schema/partitioning shape a
+    real ASR/feature pass consumes (the decode itself stays the
+    deterministic stub, like the image path). The fan-out is a bounded
+    sequence explode (≤ duration/win rows per media, no shuffle);
+    t0/t1 are exact products of the integer segment index, so the
+    per-segment values are bit-identical cross-engine."""
+    a = decoded.filter(F.col("media_type") == "audio")
+    n_seg = F.greatest(
+        F.ceil(F.col("duration_s") / F.lit(win_s)).cast("int"), F.lit(1)
+    )
+    return (
+        a.select(
+            "media_id",
+            "duration_s",
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_no"),
+        )
+        .select(
+            "media_id",
+            F.col("seg_no").cast("int").alias("seg_no"),
+            F.round(F.col("seg_no") * F.lit(win_s), 2).alias("t0_s"),
+            F.round(
+                F.least(F.col("duration_s"), (F.col("seg_no") + 1) * F.lit(win_s)), 2
+            ).alias("t1_s"),
+        )
+    )
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked audio chunking: segments of every audio blob at
+    AUDIO_SEG_WIN_S-second windows."""
+    return segment_audio(decode_media(media_table(spark, sf_dir)))
+
+
+SQL_AUDIO_SEGMENTS = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) AS seed
+        FROM documents
+    ), a AS (
+        SELECT media_id, round(0.5 + (seed % 10000) / 100.0, 2) AS duration_s
+        FROM m WHERE media_type = 'audio'
+    )
+    SELECT media_id,
+           CAST(seg_no AS INT) AS seg_no,
+           round(seg_no * {AUDIO_SEG_WIN_S}, 2) AS t0_s,
+           round(least(duration_s, (seg_no + 1) * {AUDIO_SEG_WIN_S}), 2) AS t1_s
+    FROM (
+        SELECT media_id, duration_s,
+               unnest(range(0, greatest(CAST(ceil(duration_s / {AUDIO_SEG_WIN_S})
+                                             AS INT), 1))) AS seg_no
+        FROM a
+    )
+"""
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "audio_segments": q_audio_segments,
 }
 MULTIMODAL_ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "audio_segments": SQL_AUDIO_SEGMENTS,
 }

@@ -75,8 +75,10 @@ from .dataops import (
     winnow_frame,
 )
 from .multimodal import (
+    SQL_AUDIO_SEGMENTS,
     SQL_MULTIMODAL_FRAMES,
     SQL_MULTIMODAL_META,
+    q_audio_segments,
     q_multimodal_frames,
     q_multimodal_meta,
 )
@@ -598,9 +600,13 @@ SQL_TPCH_Q4Q12 = f"""
 
 def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing in one result: per-type decode metadata
-    (part='meta') and the video frame-sampling rollup (part='frames',
-    digest pins every sampled (media, frame_no, frame_index) triple).
-    Members are Arrow-batched narrow maps over the binary column."""
+    (part='meta'), the video frame-sampling rollup (part='frames',
+    digest pins every sampled (media, frame_no, frame_index) triple),
+    and the audio fixed-window chunking rollup (part='segments',
+    round 4 — digest pins every (media, seg, t0, t1) with times
+    rendered as exact centisecond INTEGERS, never float-to-string,
+    which is engine-dependent). Members are Arrow-batched narrow maps
+    over the binary column."""
     meta = q_multimodal_meta(spark, sf_dir).select(
         F.lit("meta").alias("part"),
         F.col("media_type").alias("key"),
@@ -634,7 +640,33 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v2"),
         "digest",
     )
-    return meta.unionByName(frames)
+    seg = q_audio_segments(spark, sf_dir)
+    seg_item = F.concat_ws(
+        ":",
+        F.col("media_id").cast("string"),
+        F.col("seg_no").cast("string"),
+        F.round(F.col("t0_s") * 100).cast("long").cast("string"),
+        F.round(F.col("t1_s") * 100).cast("long").cast("string"),
+    )
+    segments = seg.agg(
+        F.count("*").cast("long").alias("n1"),
+        F.sum("seg_no").cast("long").alias("n2"),
+        F.countDistinct("media_id").cast("long").alias("n3"),
+        F.round(F.avg(F.col("t1_s") - F.col("t0_s")), 6).alias("v1"),
+        F.md5(F.concat_ws(";", F.array_sort(F.collect_list(seg_item)))).alias(
+            "digest"
+        ),
+    ).select(
+        F.lit("segments").alias("part"),
+        F.lit("audio").alias("key"),
+        "n1",
+        "n2",
+        "n3",
+        "v1",
+        F.lit(None).cast("double").alias("v2"),
+        "digest",
+    )
+    return meta.unionByName(frames).unionByName(segments)
 
 
 SQL_MULTIMODAL_SUITE = f"""
@@ -652,6 +684,16 @@ SQL_MULTIMODAL_SUITE = f"""
                CAST(media_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR)
                || ':' || CAST(frame_index AS VARCHAR))), ';'))
     FROM ({SQL_MULTIMODAL_FRAMES})
+    UNION ALL
+    SELECT 'segments', 'audio', CAST(count(*) AS BIGINT),
+           CAST(sum(seg_no) AS BIGINT),
+           CAST(count(DISTINCT media_id) AS BIGINT),
+           round(avg(t1_s - t0_s), 6), CAST(NULL AS DOUBLE),
+           md5(array_to_string(list_sort(list(
+               CAST(media_id AS VARCHAR) || ':' || CAST(seg_no AS VARCHAR)
+               || ':' || CAST(CAST(round(t0_s * 100) AS BIGINT) AS VARCHAR)
+               || ':' || CAST(CAST(round(t1_s * 100) AS BIGINT) AS VARCHAR))), ';'))
+    FROM ({SQL_AUDIO_SEGMENTS})
 """
 
 
