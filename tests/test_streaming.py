@@ -498,3 +498,75 @@ def test_stream_sft_pairs_match_batch(spark, tmp_path):
     )
     assert len(streamed) == len(batch) > 0
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_stream_sft_pairs_resume_from_checkpoint(spark, tmp_path):
+    """Stateful-operator recovery: run the SFT stream over the first
+    half of the corpus, STOP, then run a fresh query with the SAME
+    checkpoint over the full input — the second run must restore the
+    per-conversation context state from the state store (not reprocess
+    or drop turns) and the union of outputs must equal the batch
+    result exactly. This is the restart path a production streaming
+    job takes after a deploy or crash."""
+    from pdf_parser_spark.dataops import q_sft_pairs
+    from pdf_parser_spark.pipeline import transcripts_from_documents
+    from pdf_parser_spark.streaming import stream_sft_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    in_dir = str(tmp_path / "sftr_in")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_time_ordered_files(spark, t, "turn_idx", in_dir)
+    batches = sorted(os.listdir(in_dir))
+    assert len(batches) == 4
+    # stage only the first two batch dirs, run to completion, stop
+    live = str(tmp_path / "sftr_live")
+    os.makedirs(live, exist_ok=True)
+    for b in batches[:2]:
+        os.rename(os.path.join(in_dir, b), os.path.join(live, b))
+    out = str(tmp_path / "sftr_out")
+    ckpt = str(tmp_path / "sftr_ckpt")
+
+    def run_once():
+        src = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live + "/*")
+        )
+        q = (
+            stream_sft_pairs(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    # deliver the remaining input and restart from the same checkpoint
+    for b in batches[2:]:
+        os.rename(os.path.join(in_dir, b), os.path.join(live, b))
+    run_once()
+
+    cols = ["conv_id", "turn_idx", "context", "response",
+            "n_context_turns", "n_context_chars"]
+    streamed = (
+        spark.read.parquet(out)
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        q_sft_pairs(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert 0 < n_first < len(batch)  # the restart actually resumed mid-corpus
+    assert len(streamed) == len(batch)
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
