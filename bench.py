@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_tokenize",
     "audio_segments",
+    "quality_percentile",
 ]
 
 

@@ -3112,6 +3112,92 @@ def _sql_bpe_tokenize() -> str:
     )
 
 
+# Corpus-relative quality filtering: percentile-rank each doc's
+# quality score through the bounded histogram instead of a global sort.
+QPCT_BINS = 64
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile rank of every doc's quality score — the
+    corpus-RELATIVE filter ("keep the top half by quality") that a
+    fixed threshold can't express when score distributions drift per
+    crawl. The rank comes from a QPCT_BINS-cell histogram (scores are
+    in [0,1] by construction, so no bounds pass): pctile =
+    (docs in lower bins + half of own bin) / N — mid-bin convention,
+    within one bin width of the exact percent_rank.
+
+    Scale: the exact version is a GLOBAL sort/window over the corpus
+    (single-partition percent_rank — the anti-pattern); this is one
+    groupBy into ≤64 mergeable cells, a 1-row fold for the cumulative
+    (ordered slice-fold, NOT a single-partition window — the bench's
+    zero-WindowExec-warning claim is contract-checked), and a
+    broadcast join back onto the scan. All integer counts + exactly
+    rounded division, so the oracle (which may use a window — integer
+    sums are order-free) matches exactly."""
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    b = q.withColumn(
+        "bin",
+        F.least(
+            F.lit(QPCT_BINS - 1),
+            F.floor(F.col("quality_score") * QPCT_BINS).cast("int"),
+        ),
+    )
+    cells = b.groupBy("bin").agg(F.count("*").alias("cnt"))
+    agg = cells.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("cells"),
+        F.sum("cnt").alias("n_total"),
+    )
+    cum = agg.select(
+        F.explode(
+            F.transform(
+                F.col("cells"),
+                lambda s, i: F.struct(
+                    s["bin"].alias("bin"),
+                    s["cnt"].alias("cnt"),
+                    F.aggregate(
+                        F.slice(F.col("cells"), 1, i),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x["cnt"],
+                    ).alias("cum_below"),
+                ),
+            )
+        ).alias("c"),
+        "n_total",
+    ).select("c.bin", "c.cnt", "c.cum_below", "n_total")
+    pct = (F.col("cum_below") + 0.5 * F.col("cnt")) / F.col("n_total")
+    return b.join(F.broadcast(cum), "bin").select(
+        "doc_id",
+        "quality_score",
+        F.round(pct, 6).alias("approx_pctile"),
+        (pct >= 0.5).alias("keep_top_half"),
+    )
+
+
+def _sql_quality_percentile() -> str:
+    return f"""
+    WITH q AS (SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY})),
+    b AS (
+        SELECT doc_id, quality_score,
+               least({QPCT_BINS - 1},
+                     CAST(floor(quality_score * {QPCT_BINS}) AS INT)) AS bin
+        FROM q
+    ),
+    h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+    c AS (
+        SELECT bin, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_below,
+               sum(cnt) OVER () AS n_total
+        FROM h
+    )
+    SELECT doc_id, quality_score,
+           round((cum_below + 0.5 * cnt) / n_total, 6) AS approx_pctile,
+           (cum_below + 0.5 * cnt) / n_total >= 0.5 AS keep_top_half
+    FROM b JOIN c USING (bin)
+"""
+
+
 def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-composition audit: the (embedding cluster × language)
     breakdown a data team reads before training — per cell, document
@@ -4321,6 +4407,7 @@ DATAOPS_QUERIES = {
     "dup_span_scrub": q_dup_span_scrub,
     "incremental_dup_spans": q_incremental_dup_spans,
     "corpus_composition": q_corpus_composition,
+    "quality_percentile": q_quality_percentile,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
@@ -4369,6 +4456,7 @@ DATAOPS_ORACLES = {
     "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
     "corpus_composition": _sql_corpus_composition(),
+    "quality_percentile": _sql_quality_percentile(),
     "bpe_merges": _sql_bpe_merges(),
     "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
