@@ -222,14 +222,15 @@ def run_bench(spark, sf_dir: str) -> dict:
 # --decompose: per-stage attribution via the Spark UI REST API
 # ---------------------------------------------------------------------------
 
-# the 5 heaviest suite entries per the round-3 plan audit; override
+# the 5 heaviest suite entries per the round-4 full run (text_metrics
+# joined the set when it absorbed the BPE training pass); override
 # with --decompose q1,q2,...
 DECOMPOSE_QUERIES = [
-    "winnow_near_dup",
-    "embedding_pca1",
     "dedup_accuracy",
     "minhash_near_dup",
-    "semantic_search",
+    "winnow_near_dup",
+    "text_metrics",
+    "embedding_pca1",
 ]
 
 
@@ -263,6 +264,11 @@ def run_decompose(spark, sf_dir: str, names: list[str]) -> dict:
     if not ui_base:
         raise RuntimeError("Spark UI disabled — run with SPARK_GRAFT_UI=true")
     from pdf_parser_spark.dataops import clear_memo_caches
+
+    # warm the Python workers / Arrow path / codegen before measuring:
+    # without this the FIRST query absorbs worker startup and its
+    # python+arrow residue reads ~30 points too high (observed)
+    QUERIES[names[0]](spark, sf_dir).count()
 
     out: dict[str, dict] = {}
     for name in names:
