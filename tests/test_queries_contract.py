@@ -154,3 +154,24 @@ def test_phrase_hits_overlapping_terms(spark):
     docs = spark.createDataFrame([(1, "a a a a")], "doc_id LONG, text STRING")
     got = phrase_hits(docs, ["a", "a"]).collect()
     assert (got[0]["n_hits"], got[0]["first_pos"]) == (3, 0)
+
+
+def test_gate_count_guard_survives_python_O():
+    """The 50-key invariant must hold under `python -O` (which strips
+    bare asserts): the guard is an unconditional raise, and a
+    subprocess import under -O still sees exactly 50 gate keys."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "__spark_entry__.py")).read()
+    guard = src.split("if len(GATE_ORDER) != 50", 1)
+    assert len(guard) == 2, "gate-count guard missing"
+    assert "raise" in guard[1][:200], "guard must raise, not assert"
+    out = subprocess.run(
+        [sys.executable, "-O", "-c",
+         "import __spark_entry__ as e; print(len(e.GATE_ORDER))"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert out.stdout.strip() == "50", out.stderr[-500:]
