@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "audio_segments",
     "quality_percentile",
+    "snapshot_diff",
 ]
 
 

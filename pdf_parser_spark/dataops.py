@@ -3112,6 +3112,91 @@ def _sql_bpe_tokenize() -> str:
     )
 
 
+# Snapshot reconciliation: the added/deleted/changed audit between two
+# table generations (the check an ingest pipeline runs after every
+# snapshot commit before promoting it).
+SNAPDIFF_BUCKETS = 20  # ~5% of docs per mutation class
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two corpus snapshots: v1 = the documents table, v2 =
+    a deterministically derived next generation (md5-bucket classes:
+    bucket 0 deleted, bucket 1 text-modified, bucket 2 additionally
+    cloned under doc_id+1e6 — i.e. ~5% deletes/updates/inserts each,
+    the shape of a real incremental commit). The diff is ONE full
+    outer join on doc_id with per-row status from null-sides and a
+    text digest compare, aggregated to (status, n_docs,
+    chars_v1, chars_v2). Scale: both sides hash-partition on the join
+    key once; the status projection is pure codegen; output is 4
+    rows."""
+    docs = _docs(spark, sf_dir)
+    bucket = _doc_hash_bucket(SNAPDIFF_BUCKETS)
+    v1 = docs.select("doc_id", F.md5("text").alias("d1"), F.col("n_chars").alias("c1"))
+    kept = docs.filter(bucket != 0)
+    v2_base = kept.select(
+        "doc_id",
+        F.md5(
+            F.when(bucket == 1, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("d2"),
+        F.when(bucket == 1, F.col("n_chars") + 3)
+        .otherwise(F.col("n_chars"))
+        .alias("c2"),
+    )
+    v2_added = docs.filter(bucket == 2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.md5("text").alias("d2"),
+        F.col("n_chars").alias("c2"),
+    )
+    v2 = v2_base.unionByName(v2_added)
+    status = (
+        F.when(F.col("d2").isNull(), "deleted")
+        .when(F.col("d1").isNull(), "added")
+        .when(F.col("d1") != F.col("d2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(status.alias("status"), "c1", "c2")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("c1"), F.lit(0))).alias("chars_v1"),
+            F.sum(F.coalesce(F.col("c2"), F.lit(0))).alias("chars_v2"),
+        )
+        .orderBy("status")
+    )
+
+
+def _sql_snapshot_diff() -> str:
+    b = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {SNAPDIFF_BUCKETS}"
+    )
+    return f"""
+    WITH v1 AS (SELECT doc_id, md5(text) AS d1, n_chars AS c1 FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN {b} = 1 THEN text || ' v2' ELSE text END) AS d2,
+               CASE WHEN {b} = 1 THEN n_chars + 3 ELSE n_chars END AS c2
+        FROM documents WHERE {b} <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text), n_chars
+        FROM documents WHERE {b} = 2
+    )
+    SELECT CASE WHEN d2 IS NULL THEN 'deleted'
+                WHEN d1 IS NULL THEN 'added'
+                WHEN d1 <> d2 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(c1, 0)) AS BIGINT) AS chars_v1,
+           CAST(sum(coalesce(c2, 0)) AS BIGINT) AS chars_v2
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 # Corpus-relative quality filtering: percentile-rank each doc's
 # quality score through the bounded histogram instead of a global sort.
 QPCT_BINS = 64
@@ -4408,6 +4493,7 @@ DATAOPS_QUERIES = {
     "incremental_dup_spans": q_incremental_dup_spans,
     "corpus_composition": q_corpus_composition,
     "quality_percentile": q_quality_percentile,
+    "snapshot_diff": q_snapshot_diff,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
@@ -4457,6 +4543,7 @@ DATAOPS_ORACLES = {
     "incremental_dup_spans": SQL_INCREMENTAL_DUP_SPANS,
     "corpus_composition": _sql_corpus_composition(),
     "quality_percentile": _sql_quality_percentile(),
+    "snapshot_diff": _sql_snapshot_diff(),
     "bpe_merges": _sql_bpe_merges(),
     "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
