@@ -1964,7 +1964,26 @@ def _sql_dedup_accuracy() -> str:
 KMEANS_K = IVF_N_CENTROIDS  # reuse the fixed deterministic seed vectors
 
 
+_KMEANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoizing wrapper over the 2-iteration Lloyd run (see
+    _kmeans_impl): the assignment table is shared per (session,
+    sf_dir) by its three consumers — the standalone query, the
+    embedding_suite gate key, and the corpus_composition audit — the
+    way a real pipeline clusters once and joins the labels, and is
+    dropped by clear_memo_caches between bench passes like the
+    shingle/pair/BPE tables."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KMEANS_CACHE.get(key)
+    if cached is None:
+        cached = _kmeans_impl(spark, sf_dir).localCheckpoint(eager=True)
+        _KMEANS_CACHE[key] = cached
+    return cached
+
+
+def _kmeans_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means over the embedding table with exactly TWO
     unrolled Lloyd iterations (assign -> mean -> re-assign), seeded by
     the same fixed vectors as the IVF centroids so both engines agree
@@ -4028,6 +4047,7 @@ def clear_memo_caches() -> None:
     _drain_persists(_CONTAM_PERSISTS)
     _drain_persists(_UNIGRAM_PERSISTS)
     _BPE_RULES_CACHE.clear()
+    _KMEANS_CACHE.clear()
 
 
 def connected_components(pairs: DataFrame) -> DataFrame:
