@@ -2634,6 +2634,60 @@ DUP_SPAN_GRAM = 3  # positional n-gram width
 DUP_SPAN_MIN_TOKENS = 5  # report only maximal spans covering >= 5 tokens
 
 
+def _dup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_new, pos, g) positional DUP_SPAN_GRAM-grams, with
+    the gram array localCheckpoint'ed BEFORE the posexplode (the
+    CollapseProject pathology — see q_dup_spans) and the generation
+    flag precomputed for the incremental variant."""
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    toks = _tokens_col()
+    n = DUP_SPAN_GRAM
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_new = _doc_hash_bucket(INC_NEW_BUCKETS) == 0
+    garr = docs.select(
+        "doc_id", gram_arr.alias("garr"), is_new.alias("is_new")
+    ).localCheckpoint(eager=True)
+    return garr.select(
+        "doc_id", "is_new", F.posexplode(F.col("garr")).alias("pos", "g")
+    )
+
+
+def _runs_to_spans(dup_pos: DataFrame) -> DataFrame:
+    """Merge duplicated positions into maximal disjoint token spans:
+    gaps-and-islands with gap tolerance DUP_SPAN_GRAM (overlapping/
+    touching gram coverage fuses), min-length filter, dense span_id."""
+    n = DUP_SPAN_GRAM
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = (F.col("pos") - F.lag("pos").over(w) > n).cast("int")
+    runs = dup_pos.withColumn(
+        "run_key",
+        F.sum(F.coalesce(new_run, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = (
+        runs.groupBy("doc_id", "run_key")
+        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + n).alias("end_tok"))
+        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
+    )
+    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_id).cast("long").alias("span_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-doc duplicated token spans: a position is
     duplicated if its DUP_SPAN_GRAM-gram also appears in a lower
@@ -2662,51 +2716,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len) gram expression per OUTPUT row (quadratic per doc), and the
     unmaterialized subtree would additionally run once per join side.
     Measured at sf0.1: 23 s unstaged → sub-second staged."""
-    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    toks = _tokens_col()
-    n = DUP_SPAN_GRAM
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    garr = (
-        docs.select("doc_id", gram_arr.alias("garr")).localCheckpoint(eager=True)
-    )
-    grams = garr.select("doc_id", F.posexplode(F.col("garr")).alias("pos", "g"))
+    grams = _dup_span_grams(spark, sf_dir)
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     dup_pos = (
         grams.join(first, "g")
         .filter(F.col("doc_id") > F.col("first_doc"))
         .select("doc_id", "pos")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    new_run = (
-        F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_GRAM
-    ).cast("int")
-    runs = dup_pos.withColumn(
-        "run_key",
-        F.sum(F.coalesce(new_run, F.lit(0))).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    spans = (
-        runs.groupBy("doc_id", "run_key")
-        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + n).alias("end_tok"))
-        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
-    )
-    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
-    return spans.select(
-        "doc_id",
-        F.row_number().over(w_id).cast("long").alias("span_id"),
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.col("end_tok").cast("long").alias("end_tok"),
-        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
-    )
+    return _runs_to_spans(dup_pos)
 
 
 SQL_DUP_SPANS = f"""
@@ -2850,26 +2867,7 @@ def q_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-writer rule evaluates identically whichever side min-reduces
     first. The gram array is localCheckpoint'ed before exploding, same
     pathology note as q_dup_spans."""
-    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
-    toks = _tokens_col()
-    n = DUP_SPAN_GRAM
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    is_new = _doc_hash_bucket(INC_NEW_BUCKETS) == 0
-    garr = (
-        docs.select("doc_id", gram_arr.alias("garr"), is_new.alias("is_new"))
-        .localCheckpoint(eager=True)
-    )
-    grams = garr.select(
-        "doc_id", "is_new", F.posexplode(F.col("garr")).alias("pos", "g")
-    )
+    grams = _dup_span_grams(spark, sf_dir)
     base_first = (
         grams.filter(~F.col("is_new"))
         .groupBy("g")
@@ -2888,27 +2886,7 @@ def q_incremental_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    new_run = (F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_GRAM).cast("int")
-    runs = dup_pos.withColumn(
-        "run_key",
-        F.sum(F.coalesce(new_run, F.lit(0))).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    spans = (
-        runs.groupBy("doc_id", "run_key")
-        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + n).alias("end_tok"))
-        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
-    )
-    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
-    return spans.select(
-        "doc_id",
-        F.row_number().over(w_id).cast("long").alias("span_id"),
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.col("end_tok").cast("long").alias("end_tok"),
-        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
-    )
+    return _runs_to_spans(dup_pos)
 
 
 SQL_INCREMENTAL_DUP_SPANS = f"""
