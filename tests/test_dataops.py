@@ -961,3 +961,31 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
     assert list(tok["n_bpe_tokens"]) == [4, 3]
     assert list(tok["n_token_chars"]) == [4, 3]
     assert (tok["chars_per_bpe_token"] == 1.0).all()
+
+
+def test_snapshot_diff_class_accounting(spark):
+    """The diff classes must reconcile with the mutation rule exactly:
+    deleted == bucket-0 docs, changed == bucket-1 docs, added ==
+    bucket-2 docs (the clones), unchanged == the rest, and the four
+    classes partition v1 ∪ added."""
+    import hashlib
+
+    from pdf_parser_spark.dataops import SNAPDIFF_BUCKETS, q_snapshot_diff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % SNAPDIFF_BUCKETS
+
+    b = docs["doc_id"].map(bucket)
+    want = {
+        "deleted": int((b == 0).sum()),
+        "changed": int((b == 1).sum()),
+        "added": int((b == 2).sum()),
+        "unchanged": int((~b.isin([0, 1, 2])).sum() + (b == 2).sum()),
+    }
+    got = q_snapshot_diff(spark, SF_DIR).toPandas().set_index("status")["n_docs"]
+    for k, v in want.items():
+        assert got.get(k, 0) == v, (k, got.get(k, 0), v)
+    assert got.sum() == len(docs) + want["added"]
