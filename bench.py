@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "audio_segments",
     "quality_percentile",
     "snapshot_diff",
+    "fuzzy_search",
 ]
 
 

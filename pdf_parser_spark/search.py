@@ -552,11 +552,108 @@ def _sql_hybrid_search() -> str:
 """
 
 
+# Typo-tolerant term correction (SymSpell, Garbe 2012): candidates via
+# a 1-deletion-neighborhood equi-join, verified by exact levenshtein.
+FUZZY_QUERY_TERMS = ["spak", "tble", "joinn", "windoww", "qqq"]
+FUZZY_MAX_DIST = 1
+FUZZY_TOPK = 3
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant keyword lookup: for each (misspelled) query term,
+    the top corpus-vocabulary corrections within levenshtein distance
+    FUZZY_MAX_DIST, ranked by (distance asc, term frequency desc,
+    word asc). Candidate generation is the SymSpell trick — both the
+    query term and every vocabulary word expand to their ≤1-deletion
+    neighborhoods (the word itself + each single-character deletion)
+    and candidates come from ONE equi-join on the deletion key, never
+    a cross join; exact levenshtein (deterministic integer DP in both
+    engines) then verifies. 'qqq' is in the query set to pin that
+    unmatched terms yield nothing rather than fabrications.
+
+    Scale: the index is Σ(len+1) ≈ O(vocab × word-length) rows —
+    bounded by the VOCABULARY, not the corpus (the corpus enters only
+    through the one-time word count); the query side is |terms| ×
+    (len+1) rows, broadcast onto the index join."""
+    dels = (
+        "transform(sequence(0, length(w)), i -> CASE WHEN i = 0 THEN w"
+        " ELSE concat(substr(w, 1, i - 1), substr(w, i + 1, length(w))) END)"
+    )
+    vocab = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("term_freq"))
+        .select("w", "term_freq", F.explode(F.expr(dels)).alias("dkey"))
+    )
+    q = (
+        spark.createDataFrame([(t,) for t in FUZZY_QUERY_TERMS], "qterm string")
+        .select(F.col("qterm").alias("w"))
+        .select(
+            F.col("w").alias("qterm"), F.explode(F.expr(dels)).alias("dkey")
+        )
+    )
+    cand = (
+        vocab.join(F.broadcast(q), "dkey")
+        .select("qterm", "w", "term_freq")
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein(F.col("qterm"), F.col("w")))
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+    win = Window.partitionBy("qterm").orderBy(
+        F.asc("edit_dist"), F.desc("term_freq"), F.asc("w")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= FUZZY_TOPK)
+        .select("qterm", "rank", F.col("w").alias("suggestion"), "edit_dist", "term_freq")
+    )
+
+
+def _sql_fuzzy_search() -> str:
+    terms = ", ".join(f"('{t}')" for t in FUZZY_QUERY_TERMS)
+    dels = (
+        "list_transform(range(0, length(w) + 1), i -> CASE WHEN i = 0 THEN w"
+        " ELSE substr(w, 1, i - 1) || substr(w, i + 1, length(w)) END)"
+    )
+    return f"""
+    WITH vocab AS (
+        SELECT w, count(*) AS term_freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    vdel AS (SELECT w, term_freq, unnest({dels}) AS dkey FROM vocab),
+    q AS (SELECT w AS qterm, unnest({dels}) AS dkey
+          FROM (VALUES {terms}) t(w)),
+    cand AS (
+        SELECT DISTINCT qterm, vdel.w AS w, term_freq
+        FROM vdel JOIN q USING (dkey)
+    ),
+    scored AS (
+        SELECT qterm, w, term_freq, levenshtein(qterm, w) AS edit_dist
+        FROM cand
+    )
+    SELECT qterm,
+           CAST(row_number() OVER (PARTITION BY qterm
+                ORDER BY edit_dist ASC, term_freq DESC, w ASC) AS BIGINT) AS rank,
+           w AS suggestion, edit_dist, term_freq
+    FROM scored
+    WHERE edit_dist <= {FUZZY_MAX_DIST}
+    QUALIFY rank <= {FUZZY_TOPK}
+"""
+
+
 SEARCH_QUERIES = {
     "semantic_search": q_semantic_search,
     "bm25_search": q_bm25_search,
     "phrase_search": q_phrase_search,
     "hybrid_search": q_hybrid_search,
+    "fuzzy_search": q_fuzzy_search,
 }
 SEARCH_ORACLES = {
     # both engine paths (direct embed vs persisted index) must produce
@@ -569,4 +666,5 @@ SEARCH_ORACLES = {
     "bm25_search": _sql_bm25_search(),
     "phrase_search": _sql_phrase_search(),
     "hybrid_search": _sql_hybrid_search(),
+    "fuzzy_search": _sql_fuzzy_search(),
 }
