@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "quality_percentile",
     "snapshot_diff",
     "fuzzy_search",
+    "lang_id_confusion",
 ]
 
 

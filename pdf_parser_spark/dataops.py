@@ -3109,6 +3109,47 @@ def _sql_bpe_tokenize() -> str:
     )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation rollup for the language-ID heuristic: the
+    (true, predicted) confusion cells with counts and per-true-lang
+    recall — the quality report a data team reads before trusting a
+    filter built on the predictions. One scan (the vote is a pure
+    projection), one |langs|²-bounded groupBy; recall is an exactly
+    rounded int/int division against a window sum over ≤|langs| rows
+    partitioned per true lang (no global window)."""
+    per_doc = q_lang_id(spark, sf_dir).select("lang_true", "lang_pred")
+    cells = per_doc.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return (
+        cells.withColumn("n_true", F.sum("n_docs").over(w))
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_true"), 6).alias("frac_of_true"),
+            (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def _sql_lang_id_confusion() -> str:
+    return f"""
+    WITH cells AS (
+        SELECT lang_true, lang_pred, count(*) AS n_docs
+        FROM ({SQL_LANG_ID}) GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang_true), 6)
+               AS frac_of_true,
+           lang_true = lang_pred AS is_correct
+    FROM cells
+    ORDER BY lang_true, lang_pred
+"""
+
+
 # Snapshot reconciliation: the added/deleted/changed audit between two
 # table generations (the check an ingest pipeline runs after every
 # snapshot commit before promoting it).
@@ -4492,6 +4533,7 @@ DATAOPS_QUERIES = {
     "corpus_composition": q_corpus_composition,
     "quality_percentile": q_quality_percentile,
     "snapshot_diff": q_snapshot_diff,
+    "lang_id_confusion": q_lang_id_confusion,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
@@ -4542,6 +4584,7 @@ DATAOPS_ORACLES = {
     "corpus_composition": _sql_corpus_composition(),
     "quality_percentile": _sql_quality_percentile(),
     "snapshot_diff": _sql_snapshot_diff(),
+    "lang_id_confusion": _sql_lang_id_confusion(),
     "bpe_merges": _sql_bpe_merges(),
     "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
