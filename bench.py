@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "fuzzy_search",
     "lang_id_confusion",
+    "collocations",
 ]
 
 

@@ -3931,6 +3931,107 @@ SQL_LANG_MIXTURE = f"""
 """
 
 
+# Collocation (phrase) mining: association strength as LIFT — the
+# log-free form of PMI (PMI = log2(lift)), per the repo's no-libm rule.
+COLLOC_MIN_COUNT = 10  # min bigram occurrences before lift is trusted
+COLLOC_TOPK = 20
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining over token OCCURRENCES: the COLLOC_TOPK bigrams
+    with the highest lift = P(a,b)/(P(a)P(b)) = n·c(ab)/(c(a)·c(b)),
+    min-support-filtered — the standard collocation statistic with the
+    log left off (PMI = log2 of this; a monotone transform that would
+    drag libm into a hash-compared column for zero ranking change).
+
+    Scale: ONE token explode feeds both the unigram census and the
+    adjacent-pair census (localCheckpoint'ed token frame shared); the
+    pair census min-support filter runs BEFORE the two unigram joins,
+    so only candidate phrases join; lift is exact integer arithmetic
+    divided once (exactly rounded); top-k is TakeOrderedAndProject."""
+    toks_df = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", _tokens_col().alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        toks_df.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_total = toks_df.select(F.sum(F.size("toks")).alias("n")).localCheckpoint(
+        eager=True
+    )
+    pairs_col = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+    )
+    pairs = (
+        toks_df.select(F.explode(pairs_col).alias("p"))
+        .select("p.wa", "p.wb")
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    # both factors forced to DOUBLE first: DuckDB's int product would
+    # go through HUGEINT (different arithmetic) and a 100 TB corpus
+    # would overflow int64 anyway; double mult/div are exactly rounded
+    lift = (F.col("c_ab").cast("double") * F.col("n")) / (
+        F.col("ca").cast("double") * F.col("cb")
+    )
+    return (
+        pairs.join(uni.select(F.col("w").alias("wa"), F.col("c1").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("c1").alias("cb")), "wb")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.concat_ws(" ", F.col("wa"), F.col("wb")).alias("phrase"),
+            "c_ab",
+            "ca",
+            "cb",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("phrase"))
+        .limit(COLLOC_TOPK)
+    )
+
+
+SQL_COLLOCATIONS = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+    ),
+    n_total AS (SELECT sum(len(toks)) AS n FROM d),
+    pairs AS (
+        SELECT p.wa AS wa, p.wb AS wb, count(*) AS c_ab
+        FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                     ELSE list_transform(range(1, len(toks)),
+                          i -> struct_pack(wa := toks[i], wb := toks[i + 1]))
+                     END) AS p
+              FROM d)
+        GROUP BY 1, 2
+        HAVING count(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT wa || ' ' || wb AS phrase,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(a.c1 AS BIGINT) AS ca,
+           CAST(b.c1 AS BIGINT) AS cb,
+           round((CAST(c_ab AS DOUBLE) * n) / (CAST(a.c1 AS DOUBLE) * b.c1), 6)
+               AS lift
+    FROM pairs
+    JOIN uni a ON wa = a.w
+    JOIN uni b ON wb = b.w
+    CROSS JOIN n_total
+    ORDER BY lift DESC, phrase ASC
+    LIMIT {COLLOC_TOPK}
+"""
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 bigrams by document frequency (the n-gram
     census behind contamination checks and quality heuristics).
@@ -4534,6 +4635,7 @@ DATAOPS_QUERIES = {
     "quality_percentile": q_quality_percentile,
     "snapshot_diff": q_snapshot_diff,
     "lang_id_confusion": q_lang_id_confusion,
+    "collocations": q_collocations,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
@@ -4585,6 +4687,7 @@ DATAOPS_ORACLES = {
     "quality_percentile": _sql_quality_percentile(),
     "snapshot_diff": _sql_snapshot_diff(),
     "lang_id_confusion": _sql_lang_id_confusion(),
+    "collocations": SQL_COLLOCATIONS,
     "bpe_merges": _sql_bpe_merges(),
     "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
