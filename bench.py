@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "fuzzy_search",
     "lang_id_confusion",
     "collocations",
+    "pack_utilization",
 ]
 
 

@@ -3109,6 +3109,61 @@ def _sql_bpe_tokenize() -> str:
     )
 
 
+def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the q_sequence_pack assignment
+    table: per bucket, sequence count, packed token volume, mean
+    sequence fill vs PACK_BUDGET, and the waste fraction (the unfilled
+    tail of each bucket's LAST sequence — by construction the only
+    non-full one). This is the utilization metric a training pipeline
+    monitors: fill ≈ 1.0 means the concat-and-chunk packer wastes no
+    context window. Pure integer aggregation over the assignment rows
+    (one groupBy on bucket); ratios exactly rounded."""
+    pack = q_sequence_pack(spark, sf_dir)
+    per_seq = pack.groupBy("bucket", "seq_id").agg(
+        F.sum(F.col("doc_end") - F.col("doc_start")).alias("seq_tokens")
+    )
+    return (
+        per_seq.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("seq_tokens").alias("packed_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_seqs",
+            "packed_tokens",
+            F.round(
+                F.col("packed_tokens")
+                / (F.col("n_seqs").cast("double") * PACK_BUDGET),
+                6,
+            ).alias("mean_fill"),
+            (F.col("n_seqs") * PACK_BUDGET - F.col("packed_tokens")).alias(
+                "wasted_tokens"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_pack_utilization() -> str:
+    return f"""
+    WITH per_seq AS (
+        SELECT bucket, seq_id, sum(doc_end - doc_start) AS seq_tokens
+        FROM ({SQL_SEQUENCE_PACK}) GROUP BY 1, 2
+    )
+    SELECT bucket,
+           count(*) AS n_seqs,
+           CAST(sum(seq_tokens) AS BIGINT) AS packed_tokens,
+           round(sum(seq_tokens)
+                 / (CAST(count(*) AS DOUBLE) * {PACK_BUDGET}), 6) AS mean_fill,
+           CAST(count(*) * {PACK_BUDGET} - sum(seq_tokens) AS BIGINT)
+               AS wasted_tokens
+    FROM per_seq
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation rollup for the language-ID heuristic: the
     (true, predicted) confusion cells with counts and per-true-lang
@@ -4636,6 +4691,7 @@ DATAOPS_QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "lang_id_confusion": q_lang_id_confusion,
     "collocations": q_collocations,
+    "pack_utilization": q_pack_utilization,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "events_pivot": q_events_pivot,
@@ -4688,6 +4744,7 @@ DATAOPS_ORACLES = {
     "snapshot_diff": _sql_snapshot_diff(),
     "lang_id_confusion": _sql_lang_id_confusion(),
     "collocations": SQL_COLLOCATIONS,
+    "pack_utilization": _sql_pack_utilization(),
     "bpe_merges": _sql_bpe_merges(),
     "bpe_tokenize": _sql_bpe_tokenize(),
     "events_pivot": SQL_EVENTS_PIVOT,
