@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "collocations",
     "pack_utilization",
+    "embedding_near_dup",
 ]
 
 

@@ -77,3 +77,30 @@ def test_member_matches_oracle(spark, ddb, name):
             a[float_cols], b[float_cols], check_dtype=False, check_exact=False,
             rtol=1e-9, atol=1e-9,
         )
+
+
+def test_every_member_is_timed_or_suite_folded():
+    """Maintenance guard: a newly registered operator must either be
+    timed by bench.py or reach the driver gate through a composite
+    suite — otherwise it silently ships without a performance line.
+    The r-series service lookups are the only allowed exceptions
+    (trivial single-table reads whose cost the TPC-H/R9 entries
+    already bound)."""
+    import bench
+    from pdf_parser_spark.suites import SUITE_QUERIES
+
+    untimed = (
+        set(MEMBER_QUERIES)
+        - set(bench.BENCH_QUERIES)
+        - set(SUITE_QUERIES)
+        - set(entrymod.GATE_ORDER)
+    )
+    allowed = {
+        "r2_pagination_topk", "r3_count_by_status", "r4_status_filtered_list",
+        "r5_oldest_queued", "r6_keyword_search", "r10_totals_aggregate",
+        # folded members of the (gate-keyed, bench-covered via
+        # audio_segments) multimodal_suite — the suite name differs
+        # from the member keys, so the set math can't see the fold
+        "multimodal_meta", "multimodal_frames",
+    }
+    assert untimed <= allowed, f"untimed new operators: {sorted(untimed - allowed)}"
