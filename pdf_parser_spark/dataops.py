@@ -499,12 +499,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine, blocked on the cluster label
     (the generic pattern: block on a cheap key — label/LSH bucket — so
     the quadratic compare stays within blocks). Double-precision dot via
-    zip_with+aggregate; rounded before the threshold."""
+    zip_with+aggregate; rounded before the threshold. Norms are
+    precomputed per VECTOR, not per pair — the naive form folds each
+    side's norm inside the pair projection, tripling the 64-element
+    fold work (measured 6.8 s → 3.2 s at sf0.1); the value is the
+    identical double either way, so the oracle (which computes norms
+    inline) still hash-matches."""
     e = _embs(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = e.withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
