@@ -3025,10 +3025,16 @@ def _sql_bpe_chain(keep_word: bool = False) -> str:
             GROUP BY 1, 2)
         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
     )""")
+        # LEFT JOIN ON TRUE, not a cross join: when a round finds no
+        # pair (b{t} empty — vocab fully merged before BPE_N_MERGES),
+        # the cross join would EMPTY the vocabulary for every later
+        # round while the Spark learner just stops merging; the left
+        # join + coalesce carries v{t-1} through unchanged, matching
+        # the Spark break (ADVICE r4).
         parts.append(f"""v{t} AS MATERIALIZED (
-        SELECT {wcol}replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
-                       '|' || b{t}.l || b{t}.r || '|') AS sym, freq
-        FROM v{t - 1}, b{t}
+        SELECT {wcol}coalesce(replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
+                       '|' || b{t}.l || b{t}.r || '|'), sym) AS sym, freq
+        FROM v{t - 1} LEFT JOIN b{t} ON TRUE
     )""")
     return ",\n    ".join(parts)
 
@@ -3221,7 +3227,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconcile two corpus snapshots: v1 = the documents table, v2 =
     a deterministically derived next generation (md5-bucket classes:
     bucket 0 deleted, bucket 1 text-modified, bucket 2 additionally
-    cloned under doc_id+1e6 — i.e. ~5% deletes/updates/inserts each,
+    cloned under -(doc_id)-1 — the clone ids live OUTSIDE the
+    nonnegative id domain, so they can never collide with a kept v2
+    row no matter how large real doc_ids grow (ADVICE r4: the old
+    doc_id+1e6 scheme fans out the full outer join once ids reach
+    1e6) — i.e. ~5% deletes/updates/inserts each,
     the shape of a real incremental commit). The diff is ONE full
     outer join on doc_id with per-row status from null-sides and a
     text digest compare, aggregated to (status, n_docs,
@@ -3244,7 +3254,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c2"),
     )
     v2_added = docs.filter(bucket == 2).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.md5("text").alias("d2"),
         F.col("n_chars").alias("c2"),
     )
@@ -3281,7 +3291,7 @@ def _sql_snapshot_diff() -> str:
                CASE WHEN {b} = 1 THEN n_chars + 3 ELSE n_chars END AS c2
         FROM documents WHERE {b} <> 0
         UNION ALL
-        SELECT doc_id + 1000000, md5(text), n_chars
+        SELECT -doc_id - 1, md5(text), n_chars
         FROM documents WHERE {b} = 2
     )
     SELECT CASE WHEN d2 IS NULL THEN 'deleted'

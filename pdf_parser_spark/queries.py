@@ -805,7 +805,12 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship year. Region-level partners (EUROPE↔ASIA) substitute for the
     original FRANCE↔GERMANY — the testdata has ≤1 supplier per nation
     at small SF, and regions keep both directions populated. lineitem
-    streams; every dim side broadcasts."""
+    streams; every dim side broadcasts. The revenue term is
+    floor-truncated to cents per row before the sum (the Q9
+    treatment): raw 4-decimal terms can sum EXACTLY onto a .005
+    boundary where round(,2) flips between engines/plans; with cent
+    terms every group sum is a multiple of 0.01, ≥0.005 from any
+    boundary."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
@@ -832,9 +837,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_region", "cust_region", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(100 * F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    / 100
+                ),
+                2,
+            ).alias("revenue")
         )
         .orderBy("supp_region", "cust_region", "l_year")
     )
@@ -846,7 +855,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ASIA customers (region analogues of the original nation/
     continent pair). The CASE-sum and total ride ONE aggregate; the
     division happens on the 2-rounded sums so both engines divide
-    identical doubles."""
+    identical doubles. Volume terms are floor-truncated to cents per
+    row (Q9 treatment) so neither rounded sum can sit on a .005
+    boundary."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -869,7 +880,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = F.floor(100 * F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 100
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -984,9 +995,11 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the revenue view over one quarter and
     the scalar-max equality — suppliers whose quarterly revenue equals
-    the global maximum. Revenue is rounded to 2 dp BEFORE the max/
-    equality on both sides, so the comparison is between identical
-    doubles. One shuffle for the view; the max is a 1-row broadcast.
+    the global maximum. Revenue terms are floor-truncated to cents per
+    row (Q9 treatment — no .005 boundary sums), and the sum is rounded
+    to 2 dp BEFORE the max/equality on both sides, so the comparison
+    is between identical doubles. One shuffle for the view; the max is
+    a 1-row broadcast.
     The |suppliers|-row revenue view is localCheckpoint'ed so the max
     and the equality filter read ONE materialization instead of each
     re-scanning the lineitem quarter (Catalyst does not reuse a
@@ -998,9 +1011,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(100 * F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    / 100
+                ),
+                2,
+            ).alias("total_revenue")
         )
         .localCheckpoint(eager=True)
     )
@@ -1635,7 +1652,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT supp_region, cust_region,
                year(l_shipdate) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(floor(100 * l_extendedprice * (1 - l_discount)) / 100), 2)
+                 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supp ON l_suppkey = s_suppkey
@@ -1660,9 +1678,10 @@ ORACLES: dict[str, str] = {
         yearly AS (
             SELECT year(o_orderdate) AS o_year,
                    round(sum(CASE WHEN supp_region = 'EUROPE'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN floor(100 * l_extendedprice * (1 - l_discount)) / 100
                                   ELSE 0.0 END), 2) AS europe_vol,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_vol
+                   round(sum(floor(100 * l_extendedprice * (1 - l_discount)) / 100), 2)
+                     AS total_vol
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN part ON l_partkey = p_partkey
@@ -1724,7 +1743,8 @@ ORACLES: dict[str, str] = {
     "tpch_q15": """
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   round(sum(floor(100 * l_extendedprice * (1 - l_discount)) / 100), 2)
+                     AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -214,11 +214,24 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(
         # the REAL learned-BPE token count beside the regex estimate
         # (round 4): two-pass by nature (merge rules are corpus
-        # aggregates), so it joins like the unigram member
+        # aggregates), so it joins like the unigram member. LEFT join
+        # (ADVICE r4): q_bpe_tokenize only emits docs with >=1 TOKEN_RE
+        # token (explode+groupBy), so an inner join would silently drop
+        # token-less docs from the whole suite grain; coalesce keeps
+        # the all-docs grain (0 tokens, 0.0 chars/token by convention,
+        # mirroring the unigram member's zero-token convention).
         q_bpe_tokenize(spark, sf_dir).select(
             "doc_id", "n_bpe_tokens", "chars_per_bpe_token"
         ),
         "doc_id",
+        "left",
+    ).withColumns(
+        {
+            "n_bpe_tokens": F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")),
+            "chars_per_bpe_token": F.coalesce(
+                F.col("chars_per_bpe_token"), F.lit(0.0)
+            ),
+        }
     )
 
 
@@ -229,13 +242,14 @@ SQL_TEXT_METRICS = f"""
            t.ws_tokens, t.word_tokens, t.bpe_est_tokens,
            r.distinct_ratio, r.top_token_frac, r.top_bigram_frac,
            u.avg_logprob, u.ppl_proxy,
-           b.n_bpe_tokens, b.chars_per_bpe_token
+           coalesce(b.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(b.chars_per_bpe_token, 0.0) AS chars_per_bpe_token
     FROM ({SQL_LANG_ID}) l
     JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
     JOIN ({SQL_TOKEN_COUNT}) t USING (doc_id)
     JOIN ({SQL_TEXT_REPETITION}) r USING (doc_id)
     JOIN ({SQL_UNIGRAM_LOGPROB}) u USING (doc_id)
-    JOIN ({_sql_bpe_tokenize()}) b USING (doc_id)
+    LEFT JOIN ({_sql_bpe_tokenize()}) b USING (doc_id)
 """
 
 

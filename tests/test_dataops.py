@@ -794,12 +794,19 @@ def test_new_float_ops_invariant_to_partitioning(spark):
         q_hist_quantiles,
         q_weighted_sample,
     )
+    from pdf_parser_spark.queries import q_tpch_q7, q_tpch_q8, q_tpch_q15
 
     ops = {
         "cms": q_cms_heavy_hitters,
         "hist": q_hist_quantiles,
         "wsample": q_weighted_sample,
         "pca1": q_embedding_pca1,
+        # revenue sums of cent-truncated terms (the Q9 boundary fix,
+        # ADVICE r4): pin that the truncation really makes the rounded
+        # sums summation-order-invariant
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
     }
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
@@ -961,6 +968,30 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
     assert list(tok["n_bpe_tokens"]) == [4, 3]
     assert list(tok["n_token_chars"]) == [4, 3]
     assert (tok["chars_per_bpe_token"] == 1.0).all()
+
+    # and the ORACLE on the same degenerate corpus (ADVICE r4): every
+    # merge round's b{t} is empty here, so the old cross-join chain
+    # emptied v{t} for all later rounds and the oracle returned 0 rows
+    # while Spark returned every word — the LEFT JOIN ON TRUE +
+    # coalesce fallback must keep the two engines identical.
+    import duckdb
+
+    from pdf_parser_spark.dataops import DATAOPS_ORACLES
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(td, 'documents.parquet')}/*.parquet')"
+        )
+        om = con.execute(DATAOPS_ORACLES["bpe_merges"]).df()
+        assert len(om) == 0
+        ot = con.execute(DATAOPS_ORACLES["bpe_tokenize"]).df().sort_values("doc_id")
+        assert list(ot["n_words"]) == [4, 3]
+        assert list(ot["n_bpe_tokens"]) == [4, 3]
+        assert (ot["chars_per_bpe_token"] == 1.0).all()
+    finally:
+        con.close()
 
 
 def test_snapshot_diff_class_accounting(spark):

@@ -104,3 +104,15 @@ def test_every_member_is_timed_or_suite_folded():
         "multimodal_meta", "multimodal_frames",
     }
     assert untimed <= allowed, f"untimed new operators: {sorted(untimed - allowed)}"
+
+
+def test_every_bench_name_resolves():
+    """Membership in BENCH_QUERIES only counts if bench.QUERIES can
+    actually resolve the name (ADVICE r4: `audio_segments` was listed
+    but unresolvable — MULTIMODAL_QUERIES wasn't merged — and the old
+    silent `continue` meant it was never timed while the guard above
+    still counted it as covered)."""
+    import bench
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in bench.QUERIES]
+    assert not missing, f"BENCH_QUERIES names not in bench.QUERIES: {missing}"
