@@ -32,6 +32,10 @@ from .dataops import (
     EN_STOP,
     ES_STOP,
     FR_STOP,
+    LANG_PROFILES,
+    _cjk_chars_col,
+    _tri_hits,
+    _trigrams_col,
     SQL_HARD_NEGATIVES,
     SQL_INCREMENTAL_DEDUP,
     _sql_bpe_tokenize,
@@ -127,22 +131,25 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection and the member semantics fails the gate."""
     toks = _tokens_col()
     n_toks = F.size(toks)
-    # --- lang_id member (vote over stopword hit counts) ---
+    # --- lang_id member (disjoint char-trigram profiles + CJK gate,
+    # the round-5 classifier — see q_lang_id) ---
+    tris = _trigrams_col()
     en, de, es, fr = (
-        _hits(toks, L) for L in (EN_STOP, DE_STOP, ES_STOP, FR_STOP)
+        _tri_hits(tris, LANG_PROFILES[l]) for l in ("en", "de", "es", "fr")
     )
+    n_chars = F.length(F.col("text"))
     best = F.greatest(en, de, es, fr)
     pred = (
-        F.when(best == 0, F.lit("und"))
+        F.when(2 * _cjk_chars_col() >= F.greatest(n_chars, F.lit(1)), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
         .when(en == best, F.lit("en"))
         .when(de == best, F.lit("de"))
         .when(es == best, F.lit("es"))
         .otherwise(F.lit("fr"))
     )
     # --- text_quality member ---
-    n_chars = F.length(F.col("text"))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
-    stop_ratio_en = en / F.greatest(n_toks, F.lit(1))
+    stop_ratio_en = _hits(toks, EN_STOP) / F.greatest(n_toks, F.lit(1))
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     mean_tok_len = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
@@ -189,7 +196,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_true"),
         pred.alias("lang_pred"),
-        F.round(best / F.greatest(n_toks, F.lit(1)), 6).alias("stop_ratio"),
+        best.cast("long").alias("tri_hits"),
+        F.round(best / F.greatest(F.size(tris), F.lit(1)), 6).alias("tri_ratio"),
         n_toks.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -236,7 +244,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEXT_METRICS = f"""
-    SELECT l.doc_id, l.lang_true, l.lang_pred, l.stop_ratio,
+    SELECT l.doc_id, l.lang_true, l.lang_pred, l.tri_hits, l.tri_ratio,
            q.n_tokens, q.mean_token_len, q.alpha_ratio, q.stopword_ratio,
            q.quality_score,
            t.ws_tokens, t.word_tokens, t.bpe_est_tokens,

@@ -994,6 +994,52 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
         con.close()
 
 
+def test_lang_id_trigram_recall(spark, tmp_path):
+    """The round-5 classifier quality pin: on the deterministic
+    signal-bearing multilingual corpus (real per-language words + 10%
+    cross-language noise + CJK docs), per-language recall must clear
+    0.9 for ALL of en/de/es/fr/zh. The driver testdata cannot carry
+    this pin — its lang label is text-independent (one shared 31-word
+    vocabulary; supervised ceiling ~0.21 macro recall, see
+    scripts/lang_ceiling.py) — so this corpus is the honest eval.
+    Also pins Spark==DuckDB on the same corpus, covering the unicode
+    trigram + CJK regex paths the testdata never exercises."""
+    import os
+
+    import duckdb
+
+    from pdf_parser_spark.dataops import (
+        DATAOPS_ORACLES,
+        q_lang_id,
+        q_lang_id_confusion,
+        synth_lang_eval_corpus,
+    )
+
+    pdf = synth_lang_eval_corpus()
+    td = str(tmp_path / "langeval")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+    conf = q_lang_id_confusion(spark, td).toPandas()
+    rec = conf[conf["is_correct"]].set_index("lang_true")["frac_of_true"]
+    for lang in ("en", "de", "es", "fr", "zh"):
+        assert rec.get(lang, 0.0) >= 0.9, f"{lang} recall {rec.get(lang, 0.0)}"
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(td, 'documents.parquet')}/*.parquet')"
+        )
+        oracle = con.execute(DATAOPS_ORACLES["lang_id"]).df()
+    finally:
+        con.close()
+    spark_pdf = q_lang_id(spark, td).toPandas()
+    a = spark_pdf.sort_values("doc_id").reset_index(drop=True)
+    b = oracle.sort_values("doc_id").reset_index(drop=True)
+    assert (a["lang_pred"] == b["lang_pred"]).all()
+    assert (a["tri_hits"] == b["tri_hits"]).all()
+    assert (a["tri_ratio"] - b["tri_ratio"]).abs().max() < 1e-12
+
+
 def test_snapshot_diff_class_accounting(spark):
     """The diff classes must reconcile with the mutation rule exactly:
     deleted == bucket-0 docs, changed == bucket-1 docs, added ==
