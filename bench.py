@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "lang_mixture",
     "sft_pairs",
     "hard_negatives",
+    "hard_negatives_ann",
     "dup_spans",
     "dup_span_scrub",
     "incremental_dup_spans",

@@ -648,11 +648,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gate shape ranks the full broadcast-join score table
     (same plan as q_ann_cosine_topk — queries broadcast, corpus never
-    shuffles). At 100 TB the hard band comes from the ANN candidate
-    ranking instead of the exact one (rank the LSH/IVF candidate set —
-    a few % of the corpus), and the random band from a pure hash
-    THRESHOLD scan (keep h < K/n·2^60: no ranking, one projection);
-    the window form here is the exact audit twin of that pipeline."""
+    shuffles). This window form is the exact AUDIT TWIN of the
+    production pipeline, which is BUILT as q_hard_negatives_ann
+    (round 5): hard band ranked over the LSH candidate set, random
+    band from a pure hash-threshold scan — equality with this twin
+    under candidate coverage is pinned in
+    tests/test_dataops.py::test_hard_negatives_ann_matches_exact_twin."""
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -797,6 +798,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The >0 sign decision matches the SQL oracle's sequential
     list_dot_product because projections are O(1)-magnitude sums —
     float-order divergence only matters within ~1e-13 of zero."""
+    scored = _lsh_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= LSH_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate generator shared by q_ann_lsh_topk and the
+    hard-negatives production path: distinct exact-cosine-scored
+    (query_id, neighbor_id, cosine) pairs whose vectors collide in at
+    least one of the L hash tables. See q_ann_lsh_topk for the plan
+    narrative (explode on (table, bucket), broadcast queries, one
+    equi-join — never a quadratic compare)."""
     # 64 x (L*K) plane matrix, built driver-side from the same seeds
     # the oracle inlines
     plane_mat = np.array(
@@ -827,18 +844,182 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "b"
     )
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = (
+    return (
         eb.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
         .distinct()  # same pair can collide in several tables
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= LSH_TOPK)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+
+
+NEG_SLACK = 8  # random-band threshold headroom (see q_hard_negatives_ann)
+
+
+def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hard-negative miner promised by the
+    q_hard_negatives docstring (round 5, VERDICT r4 item 3) — same
+    output schema as the exact audit twin, but no full per-query
+    ranking of the corpus:
+
+    * hard band: rank only the LSH CANDIDATE set (_lsh_scored — a few
+      % of the corpus at production scale), keep candidate ranks
+      NEG_POS_K+1..NEG_POS_K+NEG_HARD_K;
+    * random band: a pure hash-THRESHOLD scan over (query, neighbor)
+      ids — keep h < T where T = (NEG_SLACK·NEG_RAND_K / (n−1))·2^60,
+      so ~NEG_SLACK·K survivors per query — then anti-join away the
+      ANN top band and rank ONLY that bounded survivor set by
+      (h, neighbor_id) for the first NEG_RAND_K. The corpus-wide pass
+      projects two id columns and a hash compare (no vectors, no
+      cosine); vectors are fetched for the ~slack·K survivors only.
+
+    Equality contract vs the audit twin (pinned in
+    tests/test_dataops.py::test_hard_negatives_ann_matches_exact_twin):
+    for every query whose LSH candidate set contains the true top
+    NEG_POS_K+NEG_HARD_K (coverage — bounded below by the ann_accuracy
+    ≥0.95 recall floor) AND whose threshold band holds ≥ NEG_RAND_K
+    survivors (P[fail] < 1e-9 at NEG_SLACK=8 by Chernoff), the two
+    paths return IDENTICAL rows. The twin stays registered as the
+    audit.
+
+    Cross-engine floats: T is the same double expression evaluated in
+    the same op order in both engines (mul/div are IEEE-exact); h is
+    the integer md5 idiom; cosine is the same rounded expression as
+    the twin."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    n_corpus = _emb_count(spark, sf_dir)
+    thresh = (NEG_SLACK * NEG_RAND_K / (n_corpus - 1)) * float(2**60)
+
+    cand = _lsh_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = cand.withColumn("crank", F.row_number().over(w))
+    top_band = ranked.filter(F.col("crank") <= NEG_POS_K + NEG_HARD_K)
+    hard = top_band.filter(F.col("crank") > NEG_POS_K).select(
+        "query_id",
+        "neighbor_id",
+        F.lit("hard").alias("label"),
+        (F.col("crank") - NEG_POS_K).cast("long").alias("neg_rank"),
+        "cosine",
+    )
+
+    q_ids = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("query_id").cast("string"),
+                    F.lit("|"),
+                    F.col("neighbor_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    survivors = (
+        e.select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(F.broadcast(q_ids))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("h", h)
+        .filter(F.col("h") < F.lit(thresh))
+        .join(
+            top_band.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("h"), F.col("neighbor_id"))
+    picked = (
+        survivors.withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= NEG_RAND_K)
+    )
+    # vector fetch for the bounded survivor set only: corpus side joins
+    # on vec_id (point lookups at scale), query vectors broadcast
+    qv = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    rand = (
+        picked.join(e, picked.neighbor_id == e.vec_id)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit("random").alias("label"),
+            F.col("rr").cast("long").alias("neg_rank"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    return hard.unionByName(rand)
+
+
+_EMB_COUNT_CACHE: dict = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus vector count (a table stat at production scale; memoized
+    1-row aggregate here) — feeds the random-band threshold."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = _embs(spark, sf_dir).count()
+    return _EMB_COUNT_CACHE[key]
+
+
+def _sql_hard_negatives_ann() -> str:
+    md5h = (
+        "CAST(('0x' || substr(md5('neg|' || CAST(query_id AS VARCHAR)"
+        " || '|' || CAST(neighbor_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+    WITH cand AS ({_sql_lsh_scored()}),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS crank
+        FROM cand
+    ),
+    top_band AS (SELECT * FROM ranked WHERE crank <= {NEG_POS_K + NEG_HARD_K}),
+    nrow AS (SELECT count(*) AS n FROM embeddings),
+    survivors AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+        FROM embeddings e, (SELECT vec_id FROM embeddings
+                            WHERE vec_id < {ANN_N_QUERIES}) q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    hashed AS (
+        SELECT query_id, neighbor_id, {md5h} AS h
+        FROM survivors, nrow
+        WHERE {md5h} < ({NEG_SLACK} * {NEG_RAND_K} / (n - 1.0)) * 1152921504606846976.0
+    ),
+    picked AS (
+        SELECT query_id, neighbor_id, h,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY h, neighbor_id) AS rr
+        FROM hashed
+        WHERE NOT EXISTS (SELECT 1 FROM top_band t
+                          WHERE t.query_id = hashed.query_id
+                            AND t.neighbor_id = hashed.neighbor_id)
+    )
+    SELECT query_id, neighbor_id, 'hard' AS label,
+           CAST(crank - {NEG_POS_K} AS BIGINT) AS neg_rank, cosine
+    FROM top_band WHERE crank > {NEG_POS_K}
+    UNION ALL
+    SELECT p.query_id, p.neighbor_id, 'random' AS label,
+           CAST(p.rr AS BIGINT) AS neg_rank,
+           round(list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM picked p
+    JOIN embeddings qe ON qe.vec_id = p.query_id
+    JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+    WHERE p.rr <= {NEG_RAND_K}
+"""
 
 
 def _sql_bucket(col: str, planes: list[list[float]]) -> str:
@@ -852,7 +1033,9 @@ def _sql_bucket(col: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _sql_ann_lsh_topk() -> str:
+def _sql_lsh_scored() -> str:
+    """The LSH candidate CTE shared by the ann_lsh_topk oracle and the
+    hard_negatives_ann oracle — mirrors _lsh_scored."""
     per_table = "\n        UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS t, "
         f"CAST({_sql_bucket('v', _lsh_planes(t))} AS BIGINT) AS b FROM e"
@@ -864,15 +1047,19 @@ def _sql_ann_lsh_topk() -> str:
         {per_table}
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, t, b FROM eb
-          WHERE vec_id < {ANN_N_QUERIES}),
-    scored AS (
-        SELECT DISTINCT query_id, eb.vec_id AS neighbor_id,
-               round(list_dot_product(qv, eb.v)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
-        FROM eb JOIN q USING (t, b)
-        WHERE eb.vec_id <> q.query_id
-    )
+          WHERE vec_id < {ANN_N_QUERIES})
+    SELECT DISTINCT query_id, eb.vec_id AS neighbor_id,
+           round(list_dot_product(qv, eb.v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+    FROM eb JOIN q USING (t, b)
+    WHERE eb.vec_id <> q.query_id
+"""
+
+
+def _sql_ann_lsh_topk() -> str:
+    return f"""
+    WITH scored AS ({_sql_lsh_scored()})
     SELECT query_id,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
@@ -4912,6 +5099,7 @@ DATAOPS_QUERIES = {
     "lang_mixture": q_lang_mixture,
     "sft_pairs": q_sft_pairs,
     "hard_negatives": q_hard_negatives,
+    "hard_negatives_ann": q_hard_negatives_ann,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -4965,6 +5153,7 @@ DATAOPS_ORACLES = {
     "lang_mixture": SQL_LANG_MIXTURE,
     "sft_pairs": SQL_SFT_PAIRS,
     "hard_negatives": SQL_HARD_NEGATIVES,
+    "hard_negatives_ann": _sql_hard_negatives_ann(),
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

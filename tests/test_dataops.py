@@ -994,6 +994,69 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
         con.close()
 
 
+def test_hard_negatives_ann_matches_exact_twin(spark):
+    """The production miner's equality contract: on every query whose
+    LSH candidate set covers the true top NEG_POS_K+NEG_HARD_K (the
+    precondition the docstring states, bounded by the ann recall
+    floors) the ANN path must return EXACTLY the audit twin's rows —
+    hard band and random band, all columns. Coverage itself is
+    measured and must not be vacuous (>= 4 of the 5 queries at this
+    SF), and the hash-threshold band must hold >= NEG_RAND_K survivors
+    for every query (the NEG_SLACK sufficiency condition)."""
+    from pdf_parser_spark.dataops import (
+        ANN_TOPK,
+        NEG_HARD_K,
+        NEG_POS_K,
+        NEG_RAND_K,
+        _lsh_scored,
+        q_ann_cosine_topk,
+        q_hard_negatives,
+        q_hard_negatives_ann,
+    )
+
+    assert ANN_TOPK == NEG_POS_K + NEG_HARD_K  # brute top-k IS the band
+
+    exact = q_hard_negatives(spark, SF_DIR).toPandas()
+    ann = q_hard_negatives_ann(spark, SF_DIR).toPandas()
+
+    # coverage: the FULL true top P+H (positives included — a missing
+    # positive shifts every candidate rank down one and breaks band
+    # equality just as surely as a missing hard negative) must all be
+    # LSH candidates; the brute-force top-k is the ground truth
+    cand = _lsh_scored(spark, SF_DIR).toPandas()
+    cand_sets = cand.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+    true_top = (
+        q_ann_cosine_topk(spark, SF_DIR)
+        .toPandas()
+        .groupby("query_id")["neighbor_id"]
+        .agg(set)
+        .to_dict()
+    )
+    cov = {q: t <= cand_sets.get(q, set()) for q, t in true_top.items()}
+    n_cov = sum(cov.values())
+    assert n_cov >= 4, f"LSH candidate coverage too weak to test: {cov}"
+
+    for qid, is_cov in cov.items():
+        if not is_cov:
+            continue
+        a = (
+            exact[exact["query_id"] == qid]
+            .sort_values(["label", "neg_rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            ann[ann["query_id"] == qid]
+            .sort_values(["label", "neg_rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # threshold sufficiency: every query produced a full random band
+    rand_counts = ann[ann["label"] == "random"].groupby("query_id").size()
+    assert (rand_counts == NEG_RAND_K).all(), rand_counts.to_dict()
+    assert len(rand_counts) == len(cov)
+
+
 def test_lang_id_trigram_recall(spark, tmp_path):
     """The round-5 classifier quality pin: on the deterministic
     signal-bearing multilingual corpus (real per-language words + 10%
