@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "hard_negatives_ann",
     "dup_spans",
+    "dup_spans_sa",
     "dup_span_scrub",
     "incremental_dup_spans",
     "corpus_composition",

@@ -3081,6 +3081,210 @@ SQL_DUP_SPANS = f"""
 """
 
 
+SA_MIN_REPEAT = 2  # within-doc repeat floor, below DUP_SPAN_GRAM
+
+
+def _sa_self_dup_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos) token positions covered by a WITHIN-DOC repeated
+    substring of length ≥ SA_MIN_REPEAT tokens, found with a per-doc
+    suffix array + LCP pass inside mapInPandas (round 5, VERDICT r4
+    item 4 — Lee et al.'s ExactSubstr machinery, doc-local): a
+    position is covered iff some adjacent suffix-array pair (a, b)
+    has lcp ≥ SA_MIN_REPEAT and the position falls in [a, a+lcp) or
+    [b, b+lcp). This marks EXACTLY the positions inside arbitrary-
+    length maximal repeats — suffixes sharing an m-prefix are SA-
+    contiguous, so adjacent pairs see every repeat occurrence, with
+    no gram width capping the detectable repeat length.
+
+    Kernel: suffix sort with one precomputed suffix key per position
+    (Python sorts call key once per element, so memory is O(n²) token
+    refs per doc — fine at transcript-turn sizes; a production kernel
+    swaps in divsufsort + Kasai for O(n log n)/O(n)); LCP by direct
+    adjacent comparison. Each doc is independent — mapInPandas
+    parallelism is the partition count, no shuffle until the
+    downstream islands merge.
+
+    Oracle equivalence (used by SQL_DUP_SPANS_SA): coverage by a
+    repeated substring of length ≥ m equals coverage by a repeated
+    m-gram — any length-L ≥ m repeat contains repeated m-grams at
+    offsets 0..L-m whose coverage union is the whole repeat — so the
+    DuckDB twin runs a within-doc m-gram census, the engine-
+    appropriate form of the identical semantics."""
+    import re as _re
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    token_re = _re.compile(TOKEN_RE)
+    m = SA_MIN_REPEAT
+
+    def gen(batches):
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_pos: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = token_re.findall(text.lower())
+                n = len(toks)
+                if n < 2 * m:
+                    continue
+                sa = sorted(range(n), key=lambda i: toks[i:])
+                covered = np.zeros(n, dtype=bool)
+                for a, b in zip(sa, sa[1:]):
+                    l = 0
+                    while a + l < n and b + l < n and toks[a + l] == toks[b + l]:
+                        l += 1
+                    if l >= m:
+                        covered[a : a + l] = True
+                        covered[b : b + l] = True
+                for p in np.nonzero(covered)[0]:
+                    out_doc.append(int(doc_id))
+                    out_pos.append(int(p))
+            yield pd.DataFrame({"doc_id": out_doc, "pos": out_pos})
+
+    return docs.mapInPandas(gen, "doc_id long, pos long")
+
+
+def q_dup_spans_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr spans, suffix-array upgrade of q_dup_spans: covered
+    token positions are the UNION of (a) cross-doc first-writer-wins
+    gram duplicates (the existing positional-gram equi-join, each
+    duplicated gram start covering its DUP_SPAN_GRAM tokens) and
+    (b) within-doc arbitrary-length repeats ≥ SA_MIN_REPEAT tokens
+    from the per-doc suffix-array kernel — repeats BELOW the old
+    GRAM floor and self-repetition the cross-doc pass is blind to.
+    Distinct covered positions merge by gaps-and-islands with gap
+    tolerance 1 (spans are maximal runs of covered positions), min
+    length DUP_SPAN_MIN_TOKENS, same output schema as q_dup_spans.
+
+    Containment contract (tests/test_dataops.py::
+    test_dup_spans_sa_contains_gram_spans): every q_dup_spans span is
+    inside some q_dup_spans_sa span — coverage positions are a
+    superset and the islands merge is monotonic — and spans from
+    sub-floor repeats appear. q_dup_spans stays the span_dedup gate
+    shape, unchanged.
+
+    Scale: (a) is the existing one-groupBy census; (b) is
+    embarrassingly parallel per doc with no index state; the union is
+    a narrow distinct on (doc_id, pos) rows bounded by the corpus dup
+    rate; the window runs per doc over covered positions only."""
+    n = DUP_SPAN_GRAM
+    grams = _dup_span_grams(spark, sf_dir)
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    cross_cov = (
+        grams.join(first, "g")
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+    )
+    self_cov = _sa_self_dup_positions(spark, sf_dir)
+    covered = cross_cov.unionByName(self_cov).distinct()
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_run = (F.col("pos") - F.lag("pos").over(w) > 1).cast("int")
+    runs = covered.withColumn(
+        "run_key",
+        F.sum(F.coalesce(new_run, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = (
+        runs.groupBy("doc_id", "run_key")
+        .agg(F.min("pos").alias("start_tok"), (F.max("pos") + 1).alias("end_tok"))
+        .filter(F.col("end_tok") - F.col("start_tok") >= DUP_SPAN_MIN_TOKENS)
+    )
+    w_id = Window.partitionBy("doc_id").orderBy("start_tok")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(w_id).cast("long").alias("span_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("n_tokens"),
+    )
+
+
+SQL_DUP_SPANS_SA = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) < {DUP_SPAN_GRAM} THEN []
+                          ELSE list_transform(
+                              range(1, len(toks) - {DUP_SPAN_GRAM} + 2),
+                              i -> struct_pack(
+                                  pos := i - 1,
+                                  g := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                          END) AS u
+            FROM d
+        )
+    ),
+    first_ AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+    cross_cov AS (
+        SELECT doc_id, unnest(range(pos, pos + {DUP_SPAN_GRAM})) AS pos
+        FROM grams JOIN first_ USING (g)
+        WHERE doc_id > first_doc
+    ),
+    -- within-doc m-gram census == suffix-array repeated-substring
+    -- coverage (see _sa_self_dup_positions docstring for the proof)
+    grams2 AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) < {SA_MIN_REPEAT} THEN []
+                          ELSE list_transform(
+                              range(1, len(toks) - {SA_MIN_REPEAT} + 2),
+                              i -> struct_pack(
+                                  pos := i - 1,
+                                  g := toks[i] || ' ' || toks[i + 1]))
+                          END) AS u
+            FROM d
+        )
+    ),
+    self_cov AS (
+        SELECT doc_id, unnest(range(pos, pos + {SA_MIN_REPEAT})) AS pos
+        FROM (SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY doc_id, g) AS cnt
+              FROM grams2)
+        WHERE cnt >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos FROM
+        (SELECT * FROM cross_cov UNION ALL SELECT * FROM self_cov)
+    ),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         > 1 THEN 1 ELSE 0 END AS new_run
+        FROM covered
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS run_key
+        FROM marks
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS start_tok, max(pos) + 1 AS end_tok
+        FROM runs GROUP BY doc_id, run_key
+        HAVING max(pos) + 1 - min(pos) >= {DUP_SPAN_MIN_TOKENS}
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+                AS BIGINT) AS span_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(end_tok AS BIGINT) AS end_tok,
+           CAST(end_tok - start_tok AS BIGINT) AS n_tokens
+    FROM spans
+"""
+
+
 def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remove pass over q_dup_spans: rebuild each document's token
     stream with every duplicated span cut out (Lee et al.'s ExactSubstr
@@ -5100,6 +5304,7 @@ DATAOPS_QUERIES = {
     "sft_pairs": q_sft_pairs,
     "hard_negatives": q_hard_negatives,
     "hard_negatives_ann": q_hard_negatives_ann,
+    "dup_spans_sa": q_dup_spans_sa,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -5154,6 +5359,7 @@ DATAOPS_ORACLES = {
     "sft_pairs": SQL_SFT_PAIRS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hard_negatives_ann": _sql_hard_negatives_ann(),
+    "dup_spans_sa": SQL_DUP_SPANS_SA,
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

@@ -994,6 +994,60 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
         con.close()
 
 
+def test_dup_spans_sa_contains_gram_spans(spark):
+    """The suffix-array upgrade's containment contract: every span the
+    gram-only q_dup_spans emits lies INSIDE some q_dup_spans_sa span
+    (coverage positions are a superset; islands merging is monotonic),
+    and the SA variant finds strictly more covered tokens (the
+    within-doc repeats the cross-doc gram pass is blind to)."""
+    from pdf_parser_spark.dataops import q_dup_spans, q_dup_spans_sa
+
+    gram = q_dup_spans(spark, SF_DIR).toPandas()
+    sa = q_dup_spans_sa(spark, SF_DIR).toPandas()
+    sa_by_doc = {
+        d: list(zip(g["start_tok"], g["end_tok"]))
+        for d, g in sa.groupby("doc_id")
+    }
+    for _, r in gram.iterrows():
+        spans = sa_by_doc.get(r["doc_id"], [])
+        assert any(
+            s <= r["start_tok"] and r["end_tok"] <= e for s, e in spans
+        ), f"gram span {dict(r)} not contained in SA spans {spans}"
+    assert sa["n_tokens"].sum() > gram["n_tokens"].sum()
+
+
+def test_dup_spans_sa_finds_sub_floor_self_repeats(spark, tmp_path):
+    """A doc whose only duplication is an internal 2-token repeat —
+    below the cross-doc DUP_SPAN_GRAM floor and invisible to
+    q_dup_spans (nothing is shared across docs) — must yield a span
+    from the suffix-array pass, with exact boundaries."""
+    import os
+
+    from pdf_parser_spark.dataops import q_dup_spans, q_dup_spans_sa
+
+    #           0   1   2   3    4    5   6   7   8    9
+    text = "alpha beta alpha beta alpha beta gamma delta epsilon zeta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [text, "one two three four five six seven"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(text), 33],
+        }
+    )
+    td = str(tmp_path / "sa_sf")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(td, "documents.parquet"))
+    assert q_dup_spans(spark, td).count() == 0  # cross-doc pass blind
+    sa = q_dup_spans_sa(spark, td).toPandas()
+    # "alpha beta" repeats at 0/2/4: suffixes share >=2-token prefixes
+    # covering positions 0..5 (the trailing "beta" at 5 included via
+    # lcp from position 1), one maximal span [0, 6)
+    assert len(sa) == 1
+    r = sa.iloc[0]
+    assert (r["doc_id"], r["start_tok"], r["end_tok"]) == (0, 0, 6)
+
+
 def test_hard_negatives_ann_matches_exact_twin(spark):
     """The production miner's equality contract: on every query whose
     LSH candidate set covers the true top NEG_POS_K+NEG_HARD_K (the
