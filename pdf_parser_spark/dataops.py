@@ -3404,13 +3404,25 @@ SQL_INCREMENTAL_DUP_SPANS = f"""
 """
 
 
-# BPE vocabulary induction (Sennrich et al. 2016): learn the first K
-# merge rules from corpus word frequencies — actual tokenizer TRAINING,
-# not just token counting.
-BPE_N_MERGES = 8
+# BPE vocabulary induction (Sennrich et al. 2016): learn merge rules
+# from corpus word frequencies — actual tokenizer TRAINING, not just
+# token counting. Round 5 (VERDICT r4 item 7): the production learner
+# BATCHES merges — each driver round accepts the maximal
+# symbol-DISJOINT PREFIX of the top-BPE_BATCH_K pair ranking (stop at
+# the first pair sharing a symbol with an already-accepted one), so
+# merges scale past demo count without one collect-round per merge.
+# Disjointness makes the accepted pairs' counts mutually unaffected;
+# the prefix-stop keeps the flattened rule order equal to the
+# 1-merge-per-round learner until a pair CREATED by an earlier round
+# overtakes the ranking (possible in principle; on the test corpora
+# the first 14-26 rules agree — the first-8 equality is pinned in
+# tests/test_dataops.py::test_bpe_batched_prefix_matches_sequential).
+BPE_N_MERGES = 8  # the sequential AUDIT learner's round count
+BPE_N_ROUNDS = 40  # batched production rounds (>=1 merge each)
+BPE_BATCH_K = 8  # ranking depth per round; accepts 1..K merges
 
 # learned rules memoized per (session, sf_dir) like the shingle/pair
-# tables: the 8 driver-paced rounds run once per bench pass and are
+# tables: the driver-paced rounds run once per bench pass and are
 # shared by q_bpe_merges, q_bpe_tokenize, and the text_metrics suite
 # (a real pipeline trains the tokenizer once and ships the rules)
 _BPE_RULES_CACHE: dict[tuple[str, str], list] = {}
@@ -3419,34 +3431,34 @@ _BPE_RULES_CACHE: dict[tuple[str, str], list] = {}
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge learning over the corpus: start from
     the character-split word vocabulary weighted by corpus word
-    frequency, then BPE_N_MERGES times pick the most frequent adjacent
-    symbol pair (ties: lexicographic by left then right symbol) and
-    fuse it everywhere. Output: one row per learned merge
-    (step, left_sym, right_sym, pair_count).
+    frequency, then BPE_N_ROUNDS times rank adjacent symbol pairs by
+    (count desc, left, right) and fuse the maximal symbol-disjoint
+    PREFIX of the top BPE_BATCH_K (batched rounds — ~76 merges on the
+    sf0.01 corpus vs the round-4 demo's 8, at ~the same number of
+    vocab-sized Spark jobs per merge learned). Output: one row per
+    learned merge (step, left_sym, right_sym, pair_count), step
+    numbered round-major.
 
     The iteration is driver-paced like the PCA power iteration: each
     round is one distributed pair-count aggregation over the WEIGHTED
     VOCABULARY (|distinct words| rows — the classic BPE trick: corpus
     scale enters only through the one-time word count, every merge
-    round then touches vocab-sized data), a 1-row argmax collect, and
-    a localCheckpoint'ed single-pass merge application
-    (`replace(sym, '|l|r|', '|lr|')` — left-to-right non-overlapping,
-    the same semantics in Spark and DuckDB, applied to the
-    pipe-delimited symbol string). The oracle unrolls the identical
-    rounds as MATERIALIZED CTEs. Determinism: integer counts,
-    lexicographic tie-break, TOKEN_RE symbols never contain the
-    delimiter."""
+    round then touches vocab-sized data), a ≤BPE_BATCH_K-row collect,
+    and a localCheckpoint'ed single-pass application of the accepted
+    replaces (`replace(sym, '|l|r|', '|lr|')` — left-to-right
+    non-overlapping, the same semantics in Spark and DuckDB, applied
+    to the pipe-delimited symbol string; disjoint patterns commute).
+    The oracle unrolls the identical batched rounds as MATERIALIZED
+    CTEs, computing the accepted prefix with a rank self-join instead
+    of the driver loop. Determinism: integer counts, lexicographic
+    tie-break, TOKEN_RE symbols never contain the delimiter."""
     return spark.createDataFrame(
         _bpe_rules(spark, sf_dir),
         "step long, left_sym string, right_sym string, pair_count long",
     )
 
 
-def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BPE_RULES_CACHE.get(key)
-    if cached is not None:
-        return cached
+def _bpe_base_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_col()
     words = (
         _docs(spark, sf_dir)
@@ -3454,7 +3466,7 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    vocab = (
+    return (
         words.select(
             F.expr(
                 "'|' || array_join(transform(sequence(1, length(w)),"
@@ -3462,34 +3474,98 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
             ).alias("sym"),
             "freq",
         )
+        # the weighted vocab is |distinct words|, orders of magnitude
+        # below the corpus; the groupBy leaves it at the shuffle
+        # partition count, which makes every per-round job pay
+        # 32-task scheduling overhead for a table of a few hundred
+        # rows (measured: ~40% of the 40-round training wall at
+        # sf0.1). 4 partitions keeps the rounds cheap here while
+        # staying a knob — a web-scale vocab (1e7 words) would size
+        # this to its own byte count, still tiny next to the corpus.
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
-    merges = []
-    for step in range(1, BPE_N_MERGES + 1):
-        arr = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
-        nsz = F.size(arr)
-        pairs = F.zip_with(
-            F.slice(arr, 1, F.greatest(nsz - 1, F.lit(0))),
-            F.slice(arr, 2, F.greatest(nsz - 1, F.lit(0))),
-            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
-        )
-        top = (
-            vocab.select(F.explode(pairs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
+
+
+def _bpe_top_pairs(vocab: DataFrame, k: int) -> list:
+    arr = F.filter(F.split(F.col("sym"), r"\|"), lambda x: x != "")
+    nsz = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(nsz - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(nsz - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(k)
+        .collect()
+    )
+
+
+def _bpe_apply_lazy(vocab: DataFrame, accepted: list) -> DataFrame:
+    if not accepted:
+        return vocab
+    expr = "sym"
+    for l, r, _ in accepted:
+        expr = f"replace({expr}, '|{l}|{r}|', '|{l}{r}|')"
+    return vocab.withColumn("sym", F.expr(expr))
+
+
+def _bpe_apply(vocab: DataFrame, accepted: list) -> DataFrame:
+    return _bpe_apply_lazy(vocab, accepted).localCheckpoint(eager=True)
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+    """Batched production learner (see q_bpe_merges). The apply step
+    rides LAZILY into the next round's pair count (a chained-replace
+    projection over the last checkpointed vocab) and materializes only
+    every few rounds — one Spark job per round instead of two, which
+    is the whole round cost at vocab size (measured: the collect
+    round-trips dominate, not the compute)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_RULES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    vocab = _bpe_base_vocab(spark, sf_dir)
+    merges: list = []
+    pending: list = []  # accepted rules not yet folded into a checkpoint
+    for _ in range(BPE_N_ROUNDS):
+        top = _bpe_top_pairs(_bpe_apply_lazy(vocab, pending), BPE_BATCH_K)
+        if not top:
+            break
+        accepted = []
+        syms: set = set()
+        for row in top:
+            if row.l in syms or row.r in syms:
+                break  # prefix-stop at the first symbol conflict
+            accepted.append((row.l, row.r, int(row.cnt)))
+            syms.update((row.l, row.r))
+        for l, r, cnt in accepted:
+            merges.append((len(merges) + 1, l, r, cnt))
+        pending.extend(accepted)
+        if len(pending) >= 4 * BPE_BATCH_K:  # cap the lazy replace chain
+            vocab = _bpe_apply(vocab, pending)
+            pending = []
+    _BPE_RULES_CACHE[key] = merges
+    return merges
+
+
+def _bpe_rules_sequential(spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES) -> list:
+    """The 1-merge-per-round AUDIT learner (the round-4 production
+    shape): argmax collect per round. Kept as the equality reference
+    for the batched learner's prefix guarantee."""
+    vocab = _bpe_base_vocab(spark, sf_dir)
+    merges: list = []
+    for step in range(1, n_merges + 1):
+        top = _bpe_top_pairs(vocab, 1)
         if not top:
             break
         best = top[0]
         merges.append((step, best.l, best.r, int(best.cnt)))
-        pat, rep = f"|{best.l}|{best.r}|", f"|{best.l}{best.r}|"
-        vocab = vocab.withColumn(
-            "sym", F.expr(f"replace(sym, '{pat}', '{rep}')")
-        ).localCheckpoint(eager=True)
-    _BPE_RULES_CACHE[key] = merges
+        vocab = _bpe_apply(vocab, [(best.l, best.r, int(best.cnt))])
     return merges
 
 
@@ -3513,9 +3589,12 @@ def _sql_bpe_chain(keep_word: bool = False) -> str:
               GROUP BY w)
     )"""
     ]
-    for t in range(1, BPE_N_MERGES + 1):
-        parts.append(f"""b{t} AS MATERIALIZED (
-        SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM (
+    for t in range(1, BPE_N_ROUNDS + 1):
+        # s{t}: the top-BPE_BATCH_K pair ranking of this round
+        parts.append(f"""s{t} AS MATERIALIZED (
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rn
+        FROM (
             SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
             FROM (SELECT freq,
                          unnest(list_transform(
@@ -3525,36 +3604,66 @@ def _sql_bpe_chain(keep_word: bool = False) -> str:
                                list_filter(string_split(sym, '|'), x -> x <> '') AS arr
                         FROM v{t - 1}))
             GROUP BY 1, 2)
-        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT {BPE_BATCH_K}
     )""")
-        # LEFT JOIN ON TRUE, not a cross join: when a round finds no
-        # pair (b{t} empty — vocab fully merged before BPE_N_MERGES),
-        # the cross join would EMPTY the vocabulary for every later
-        # round while the Spark learner just stops merging; the left
-        # join + coalesce carries v{t-1} through unchanged, matching
-        # the Spark break (ADVICE r4).
+        # b{t}: the accepted maximal symbol-disjoint PREFIX — rows
+        # before the first rank whose pair shares a symbol with ANY
+        # earlier-ranked pair (equivalent to the driver loop's
+        # stop-at-first-conflict, since all rows before the first
+        # conflict are accepted)
+        parts.append(f"""b{t} AS MATERIALIZED (
+        SELECT l, r, cnt, rn FROM s{t}
+        WHERE rn < coalesce(
+            (SELECT min(a.rn) FROM s{t} a JOIN s{t} e
+               ON e.rn < a.rn
+              AND (a.l IN (e.l, e.r) OR a.r IN (e.l, e.r))),
+            {BPE_BATCH_K + 1})
+    )""")
+        # v{t}: apply the accepted replaces as an ORDERED left fold
+        # (list_reduce with the symbol string prepended as the
+        # accumulator — the repo's blessed F.aggregate==list_reduce
+        # idiom); pattern/replacement ride one tab-separated string
+        # (symbols are TOKEN_RE + '|', never a tab). Empty b{t}
+        # (vocab fully merged before BPE_N_ROUNDS) folds over an
+        # empty rule list and carries v{t-1} through unchanged,
+        # matching the Spark break (ADVICE r4).
         parts.append(f"""v{t} AS MATERIALIZED (
-        SELECT {wcol}coalesce(replace(sym, '|' || b{t}.l || '|' || b{t}.r || '|',
-                       '|' || b{t}.l || b{t}.r || '|'), sym) AS sym, freq
-        FROM v{t - 1} LEFT JOIN b{t} ON TRUE
+        SELECT {wcol}list_reduce(
+            list_prepend(sym,
+                (SELECT coalesce(list('|' || l || '|' || r || '|' || chr(9)
+                                      || '|' || l || r || '|' ORDER BY rn), [])
+                 FROM b{t})),
+            (acc, x) -> replace(acc, string_split(x, chr(9))[1],
+                                string_split(x, chr(9))[2])
+        ) AS sym, freq
+        FROM v{t - 1}
     )""")
     return ",\n    ".join(parts)
 
 
 def _sql_bpe_merges() -> str:
     selects = [
-        f"SELECT CAST({t} AS BIGINT) AS step, l AS left_sym, r AS right_sym,"
-        f" cnt AS pair_count FROM b{t}"
-        for t in range(1, BPE_N_MERGES + 1)
+        f"SELECT {t} AS t, l, r, cnt, rn FROM b{t}"
+        for t in range(1, BPE_N_ROUNDS + 1)
     ]
-    return _sql_bpe_chain() + "\n    " + "\n    UNION ALL ".join(selects)
+    union = "\n        UNION ALL ".join(selects)
+    return (
+        _sql_bpe_chain()
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY t, rn) AS BIGINT) AS step,
+           l AS left_sym, r AS right_sym, cnt AS pair_count
+    FROM (
+        {union}
+    )
+"""
+    )
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges: per doc, word count, BPE token
-    count after the BPE_N_MERGES rules, total token characters, and
-    chars-per-BPE-token (the compression the vocabulary buys). The
-    merge rules arrive as a bounded BPE_N_MERGES-row collect from
+    count after the learned rules (~64-80 batched merges), total token
+    characters, and chars-per-BPE-token (the compression the
+    vocabulary buys). The merge rules arrive as a bounded collect from
     q_bpe_merges and are applied as a chained replace expression over
     the DISTINCT-word table (vocab-sized, localCheckpoint'ed), which
     then broadcast-joins onto the exploded corpus tokens — the
@@ -3606,7 +3715,7 @@ def _sql_bpe_tokenize() -> str:
         + f""",
     wn AS (
         SELECT w, len(list_filter(string_split(sym, '|'), x -> x <> '')) AS n_sym
-        FROM v{BPE_N_MERGES}
+        FROM v{BPE_N_ROUNDS}
     ),
     dw AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w

@@ -994,6 +994,27 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
         con.close()
 
 
+def test_bpe_batched_prefix_matches_sequential(spark):
+    """The batched learner's guarantees (VERDICT r4 item 7): its first
+    BPE_N_MERGES rules equal the 1-merge-per-round audit learner's
+    rules exactly (the prefix-stop acceptance makes batched rounds
+    order-faithful until a created pair overtakes the ranking — on
+    this corpus the first 14+ rules agree), and it learns >= 64 merges
+    (vs the round-4 demo's 8) in BPE_N_ROUNDS driver rounds."""
+    from pdf_parser_spark.dataops import (
+        BPE_N_MERGES,
+        _bpe_rules,
+        _bpe_rules_sequential,
+    )
+
+    bat = _bpe_rules(spark, SF_DIR)
+    seq = _bpe_rules_sequential(spark, SF_DIR, BPE_N_MERGES)
+    assert [(l, r, c) for _, l, r, c in bat[:BPE_N_MERGES]] == [
+        (l, r, c) for _, l, r, c in seq
+    ]
+    assert len(bat) >= 64, f"only {len(bat)} merges learned"
+
+
 def test_dup_spans_sa_contains_gram_spans(spark):
     """The suffix-array upgrade's containment contract: every span the
     gram-only q_dup_spans emits lies INSIDE some q_dup_spans_sa span
