@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "corpus_composition",
     "bpe_merges",
     "bpe_tokenize",
+    "unigram_lm_vocab",
+    "unigram_lm_tokenize",
     "audio_segments",
     "quality_percentile",
     "snapshot_diff",

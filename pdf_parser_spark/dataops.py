@@ -3792,6 +3792,302 @@ def _sql_bpe_tokenize() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — the BPE twin
+# (round 5, VERDICT r4 item 6): hard-EM (Viterbi counts) over the word
+# frequency table. libm-free by design: segmentation quality is the
+# max PRODUCT of piece probabilities (not the sum of logs), built by
+# left-to-right multiplication in BOTH engines, so every double is
+# bit-identical; probabilities are exact int/int divisions; ties break
+# (fewest pieces, lexicographic path).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_PMAX = 4  # max piece length
+UNIGRAM_EM_ROUNDS = 3
+
+_UNIGRAM_MODEL_CACHE: dict = {}
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _best_seg(w: str, probs: dict) -> tuple:
+    """Exhaustive max-product segmentation of one word under the piece
+    model: returns (neg_prob, n_pieces, path) minimal — i.e. highest
+    probability, then fewest pieces, then lexicographically smallest
+    '|'-joined path. ENUMERATION, not Viterbi DP, deliberately: the
+    DuckDB oracle enumerates segmentations with a recursive CTE (DP
+    with the global (prob, n_pieces, path) tie-break is not
+    prefix-decomposable), and the corpus tokens are short enough
+    (≤ ~12 chars, parts ≤ UNIGRAM_PMAX) that enumeration is bounded;
+    a production kernel swaps in Viterbi with a prob-only tie-break."""
+    n = len(w)
+    best = None
+    stack = [(0, 1.0, 0, "")]
+    while stack:
+        pos, prob, np_, path = stack.pop()
+        if pos == n:
+            key = (-prob, np_, path)
+            if best is None or key < best:
+                best = key
+            continue
+        for ln in range(1, min(UNIGRAM_PMAX, n - pos) + 1):
+            p = probs.get(w[pos : pos + ln])
+            if p:
+                stack.append((pos + ln, prob * p, np_ + 1, path + "|" + w[pos : pos + ln]))
+    return best
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str) -> list:
+    """EM driver loop. Corpus enters ONCE (the word-frequency count);
+    every round is vocab-sized: a mapInPandas Viterbi-count E-step
+    over the distributed word table (current model broadcast as a
+    plain dict — the model, not the data, is what's bounded) and a
+    groupBy(piece) M-step whose result — the MODEL — is collected
+    (piece-table-sized, the same bounded-collect class as the BPE
+    argmax; SentencePiece itself holds the model in memory). Pieces
+    with zero Viterbi count are pruned each round; single characters
+    are floored at count 1 so every word stays segmentable. Returns
+    [(piece, cnt, prob)] sorted (piece asc) for the final round."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _UNIGRAM_MODEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    words = _word_freqs(spark, sf_dir)
+
+    # init: every substring of length 1..PMAX, weighted by word freq
+    sub_expr = (
+        f"flatten(transform(sequence(1, length(w)), i ->"
+        f" transform(sequence(1, least({UNIGRAM_PMAX}, length(w) - i + 1)),"
+        f" L -> substring(w, i, L))))"
+    )
+    init = (
+        words.select(F.explode(F.expr(sub_expr)).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in init}
+    chars = sorted(p for p in counts if len(p) == 1)
+    total = sum(counts.values())
+    probs = {p: c / total for p, c in counts.items()}
+
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        model = dict(probs)
+
+        def e_step(batches, model=model):
+            for pdf in batches:
+                rows: dict[str, int] = {}
+                for w, f in zip(pdf["w"], pdf["freq"]):
+                    b = _best_seg(w, model)
+                    for piece in b[2].split("|")[1:]:
+                        rows[piece] = rows.get(piece, 0) + int(f)
+                yield pd.DataFrame(
+                    {"piece": list(rows), "cnt": list(rows.values())}
+                )
+
+        agg = (
+            words.mapInPandas(e_step, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in agg}
+        for ch in chars:
+            counts.setdefault(ch, 1)
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items()}
+
+    model = sorted((p, counts[p], probs[p]) for p in counts)
+    _UNIGRAM_MODEL_CACHE[key] = model
+    return model
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM piece vocabulary after UNIGRAM_EM_ROUNDS
+    hard-EM rounds: (piece, cnt, prob) — cnt the Viterbi-weighted
+    corpus count, prob the exactly-rounded model probability. See
+    _unigram_model for the EM plan; the DuckDB oracle unrolls the
+    identical rounds with a recursive-CTE segmentation enumeration per
+    round and the same (prob desc, pieces asc, path asc) argmax."""
+    return spark.createDataFrame(
+        [(p, c, round(pr, 6)) for p, c, pr in _unigram_model(spark, sf_dir)],
+        "piece string, cnt long, prob double",
+    )
+
+
+def q_unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram LM: per doc, word count, total LM
+    pieces over the best segmentations, token characters, and
+    chars-per-piece (the compression, directly comparable with
+    q_bpe_tokenize's chars_per_bpe_token). Same apply shape as the BPE
+    twin: segment the DISTINCT-word table once (mapInPandas, model
+    broadcast), broadcast-join onto the exploded corpus tokens."""
+    model = {p: pr for p, _, pr in _unigram_model(spark, sf_dir)}
+
+    def seg_count(batches, model=model):
+        for pdf in batches:
+            ws = list(pdf["w"])
+            yield pd.DataFrame(
+                {"w": ws, "n_pieces": [_best_seg(w, model)[1] for w in ws]}
+            )
+
+    toks = _tokens_col()
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("w"))
+        .distinct()
+        .coalesce(4)
+        .mapInPandas(seg_count, "w string, n_pieces long")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("w"))
+        .join(F.broadcast(words), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_lm_pieces"),
+            F.sum(F.length("w")).alias("n_token_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_lm_pieces",
+            "n_token_chars",
+            F.round(F.col("n_token_chars") / F.col("n_lm_pieces"), 6).alias(
+                "chars_per_lm_piece"
+            ),
+        )
+    )
+
+
+def _sql_unigram_chain() -> str:
+    """The EM rounds unrolled for DuckDB: u0 = substring-count init;
+    per round t, a recursive CTE enumerates every segmentation of every
+    distinct word under u{t-1} (left-to-right probability products —
+    the same multiplication order as the Python kernel, so doubles are
+    bit-identical), ubest{t} takes the (prob desc, pieces asc, path
+    asc) argmax per word, and u{t} re-counts pieces from the winning
+    paths with single characters floored at 1."""
+    parts = [
+        f"""uw AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+              FROM documents)
+        GROUP BY w
+    )""",
+        f"""u0 AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt,
+               sum(freq) * 1.0 / (sum(sum(freq)) OVER ()) AS prob
+        FROM (
+            SELECT unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+                       list_transform(range(1, least({UNIGRAM_PMAX}, length(w) - i + 1) + 1),
+                                      L -> substr(w, i, L))))) AS piece,
+                   freq
+            FROM uw
+        )
+        GROUP BY piece
+    )""",
+        """uchars AS MATERIALIZED (
+        SELECT piece FROM u0 WHERE length(piece) = 1
+    )""",
+    ]
+    for t in range(1, UNIGRAM_EM_ROUNDS + 1):
+        parts.append(f"""useg{t} AS (
+        SELECT w, 0 AS pos, CAST(1.0 AS DOUBLE) AS prob, 0 AS np,
+               '' AS path, freq
+        FROM uw
+        UNION ALL
+        SELECT s.w, s.pos + length(v.piece), s.prob * v.prob, s.np + 1,
+               s.path || '|' || v.piece, s.freq
+        FROM useg{t} s JOIN u{t - 1} v
+          ON v.prob > 0
+         AND substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+        WHERE s.pos < length(s.w)
+    )""")
+        parts.append(f"""ubest{t} AS MATERIALIZED (
+        SELECT w, path, freq
+        FROM (SELECT w, path, freq,
+                     row_number() OVER (PARTITION BY w
+                         ORDER BY prob DESC, np ASC, path ASC) AS rn
+              FROM useg{t} WHERE pos = length(w))
+        WHERE rn = 1
+    )""")
+        parts.append(f"""u{t} AS MATERIALIZED (
+        SELECT piece, cnt, cnt * 1.0 / (sum(cnt) OVER ()) AS prob FROM (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_filter(string_split(path, '|'),
+                                            x -> x <> '')) AS piece, freq
+                  FROM ubest{t})
+            GROUP BY piece
+            UNION ALL
+            SELECT piece, 1 FROM uchars
+            WHERE piece NOT IN (
+                SELECT unnest(list_filter(string_split(path, '|'), x -> x <> ''))
+                FROM ubest{t})
+        )
+    )""")
+    return "WITH RECURSIVE " + ",\n    ".join(parts)
+
+
+SQL_UNIGRAM_LM_VOCAB = (
+    _sql_unigram_chain()
+    + f"""
+    SELECT piece, cnt, round(prob, 6) AS prob
+    FROM u{UNIGRAM_EM_ROUNDS}
+"""
+)
+
+
+def _sql_unigram_lm_tokenize() -> str:
+    t = UNIGRAM_EM_ROUNDS
+    return (
+        _sql_unigram_chain()
+        + f""",
+    useg_f AS (
+        SELECT w, 0 AS pos, CAST(1.0 AS DOUBLE) AS prob, 0 AS np, '' AS path
+        FROM uw
+        UNION ALL
+        SELECT s.w, s.pos + length(v.piece), s.prob * v.prob, s.np + 1,
+               s.path || '|' || v.piece
+        FROM useg_f s JOIN u{t} v
+          ON v.prob > 0
+         AND substr(s.w, s.pos + 1, length(v.piece)) = v.piece
+        WHERE s.pos < length(s.w)
+    ),
+    wn AS (
+        SELECT w, CAST(np AS BIGINT) AS n_pieces
+        FROM (SELECT w, np,
+                     row_number() OVER (PARTITION BY w
+                         ORDER BY prob DESC, np ASC, path ASC) AS rn
+              FROM useg_f WHERE pos = length(w))
+        WHERE rn = 1
+    ),
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_lm_pieces,
+           CAST(sum(length(w)) AS BIGINT) AS n_token_chars,
+           round(sum(length(w)) * 1.0 / sum(n_pieces), 6) AS chars_per_lm_piece
+    FROM dw JOIN wn USING (w)
+    GROUP BY doc_id
+"""
+    )
+
+
 def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report over the q_sequence_pack assignment
     table: per bucket, sequence count, packed token volume, mean
@@ -4990,6 +5286,8 @@ def clear_memo_caches() -> None:
     _drain_persists(_CONTAM_PERSISTS)
     _drain_persists(_UNIGRAM_PERSISTS)
     _BPE_RULES_CACHE.clear()
+    _UNIGRAM_MODEL_CACHE.clear()
+    _EMB_COUNT_CACHE.clear()
     _KMEANS_CACHE.clear()
 
 
@@ -5474,6 +5772,8 @@ DATAOPS_QUERIES = {
     "hard_negatives": q_hard_negatives,
     "hard_negatives_ann": q_hard_negatives_ann,
     "dup_spans_sa": q_dup_spans_sa,
+    "unigram_lm_vocab": q_unigram_lm_vocab,
+    "unigram_lm_tokenize": q_unigram_lm_tokenize,
     "ngram_topk": q_ngram_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -5529,6 +5829,8 @@ DATAOPS_ORACLES = {
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hard_negatives_ann": _sql_hard_negatives_ann(),
     "dup_spans_sa": SQL_DUP_SPANS_SA,
+    "unigram_lm_vocab": SQL_UNIGRAM_LM_VOCAB,
+    "unigram_lm_tokenize": _sql_unigram_lm_tokenize(),
     "ngram_topk": SQL_NGRAM_TOPK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,

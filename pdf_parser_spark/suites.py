@@ -39,6 +39,8 @@ from .dataops import (
     SQL_HARD_NEGATIVES,
     SQL_INCREMENTAL_DEDUP,
     _sql_bpe_tokenize,
+    _sql_unigram_lm_tokenize,
+    q_unigram_lm_tokenize,
     SQL_MINHASH_NEAR_DUP,
     SQL_UNIGRAM_LOGPROB,
     _minhash_pairs,
@@ -233,11 +235,24 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
         "left",
+    ).join(
+        # round 5: the unigram-LM twin's per-doc stats ride the same
+        # gate key, so the trained SentencePiece-style model is
+        # value-hashed end-to-end beside the BPE one
+        q_unigram_lm_tokenize(spark, sf_dir).select(
+            "doc_id", "n_lm_pieces", "chars_per_lm_piece"
+        ),
+        "doc_id",
+        "left",
     ).withColumns(
         {
             "n_bpe_tokens": F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")),
             "chars_per_bpe_token": F.coalesce(
                 F.col("chars_per_bpe_token"), F.lit(0.0)
+            ),
+            "n_lm_pieces": F.coalesce(F.col("n_lm_pieces"), F.lit(0).cast("long")),
+            "chars_per_lm_piece": F.coalesce(
+                F.col("chars_per_lm_piece"), F.lit(0.0)
             ),
         }
     )
@@ -251,13 +266,16 @@ SQL_TEXT_METRICS = f"""
            r.distinct_ratio, r.top_token_frac, r.top_bigram_frac,
            u.avg_logprob, u.ppl_proxy,
            coalesce(b.n_bpe_tokens, 0) AS n_bpe_tokens,
-           coalesce(b.chars_per_bpe_token, 0.0) AS chars_per_bpe_token
+           coalesce(b.chars_per_bpe_token, 0.0) AS chars_per_bpe_token,
+           coalesce(m.n_lm_pieces, 0) AS n_lm_pieces,
+           coalesce(m.chars_per_lm_piece, 0.0) AS chars_per_lm_piece
     FROM ({SQL_LANG_ID}) l
     JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
     JOIN ({SQL_TOKEN_COUNT}) t USING (doc_id)
     JOIN ({SQL_TEXT_REPETITION}) r USING (doc_id)
     JOIN ({SQL_UNIGRAM_LOGPROB}) u USING (doc_id)
     LEFT JOIN ({_sql_bpe_tokenize()}) b USING (doc_id)
+    LEFT JOIN ({_sql_unigram_lm_tokenize()}) m USING (doc_id)
 """
 
 
