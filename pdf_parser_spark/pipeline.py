@@ -128,6 +128,7 @@ def get_spark(
     app_name: str = "pdf_parser_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Session tuned per the survey: AQE on, Arrow on, UTC, shuffle
     partitions ~ cores (not the 200 default)."""
@@ -174,6 +175,12 @@ def get_spark(
         # on to read per-stage metrics from the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # core confs (e.g. spark.io.compression.codec) must be set before
+    # the JVM context exists — a hook for callers with special needs
+    # (bench.py --stress uses zstd shuffle compression so the two
+    # full-corpus exchanges of the 80M-turn leg fit local disk)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
