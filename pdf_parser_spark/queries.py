@@ -756,7 +756,12 @@ def _supplier_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame
 
 
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (min-cost supplier): the correlated min-subquery
+    """TPC-H Q2 shape (min-cost supplier) — NOT comparable to official
+    TPC-H results: the testdata has no partsupp table and no EUROPE
+    region, so the relation is derived and the region substituted (the
+    documented-analogue convention, SURVEY.md round-4 delta).
+
+    The correlated min-subquery
     — for each part, keep exactly the supplier(s) whose cost equals the
     regional minimum. No partsupp table, so the part-supplier relation
     is derived from lineitem: unit_cost = min over that (part,
