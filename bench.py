@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "kmv_distinct_users",
     "hist_quantiles",
     "minhash_near_dup",
+    "neardup_first_writer",
     "dup_clusters",
     "simhash_dedup",
     "ngram_jaccard_dup",

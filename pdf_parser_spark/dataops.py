@@ -353,6 +353,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_pairs(sh, cand)
 
 
+def q_neardup_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order near-dup FILTER verdict: keep a doc iff it is the
+    min-doc_id owner of EVERY LSH band bucket it occupies. These are
+    "band seen before" semantics — a doc dropped for colliding on one
+    bucket still owns (poisons) the buckets it was first into, the
+    conservative chain-drop every streaming ingest filter with
+    band-keyed state exhibits; this query is the batch twin of
+    ``streaming.stream_neardup_mark`` (contract-tested equal on an
+    in-order stream). Distinct from q_minhash_near_dup, which emits
+    verified PAIRS for offline review: this emits the keep/drop
+    decision an ingest gate applies immediately, trading Jaccard
+    verification for zero pair fan-out.
+
+    Shape: the memoized band table (8 rows/doc) -> ONE window min over
+    (band, bkey) -> one groupBy(doc_id) -> a LEFT join back to the
+    all-docs grain (a doc too short to shingle has no buckets to
+    collide in and is kept; coalesced 0s keep the grain per the
+    ADVICE-r4 rule). At 100 TB both shuffles are on the 3-column band
+    table, never the text; the window and the groupBy are each one
+    exchange of 8 x n_docs narrow rows, and in production the window
+    over the persisted band index is a write-once owner column
+    maintained incrementally by the generational ingest
+    (min(doc_id) is monotone under append, so new docs can never
+    steal ownership — an UPDATE-free index)."""
+    bands = _minhash_band_table(spark, sf_dir)
+    w = Window.partitionBy("band", "bkey")
+    agg = (
+        bands.withColumn("owner", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("long")).alias(
+                "n_owned"
+            ),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_buckets", F.lit(0).cast("long")).alias("n_buckets"),
+            F.coalesce("n_owned", F.lit(0).cast("long")).alias("n_owned"),
+            (
+                F.coalesce("n_owned", F.lit(0).cast("long"))
+                == F.coalesce("n_buckets", F.lit(0).cast("long"))
+            ).alias("keep"),
+        )
+    )
+
+
 SQL_MINHASH_NEAR_DUP = f"""
     WITH {_SQL_SHINGLES},
     sigs AS (
@@ -383,6 +435,36 @@ SQL_MINHASH_NEAR_DUP = f"""
     JOIN sizes za ON za.doc_id = doc_a
     JOIN sizes zb ON zb.doc_id = doc_b
     WHERE round(i * 1.0 / (za.n + zb.n - i), 6) >= {MINHASH_JACCARD_MIN}
+"""
+
+SQL_NEARDUP_FIRST_WRITER = f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (
+        SELECT doc_id, (i // 2) AS band, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS sig
+        FROM sh, range({N_MINHASH}) t(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, band, md5(min(sig) || max(sig)) AS bkey
+        FROM sigs GROUP BY doc_id, band
+    ),
+    owned AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY band, bkey) AS owner
+        FROM bands
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_owned
+        FROM owned GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_buckets, 0) AS n_buckets,
+           coalesce(n_owned, 0) AS n_owned,
+           coalesce(n_owned, 0) = coalesce(n_buckets, 0) AS keep
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg USING (doc_id)
 """
 
 # Contract of q_incremental_dedup: the full pair table restricted to
@@ -5771,6 +5853,7 @@ DATAOPS_QUERIES = {
     "sft_pairs": q_sft_pairs,
     "hard_negatives": q_hard_negatives,
     "hard_negatives_ann": q_hard_negatives_ann,
+    "neardup_first_writer": q_neardup_first_writer,
     "dup_spans_sa": q_dup_spans_sa,
     "unigram_lm_vocab": q_unigram_lm_vocab,
     "unigram_lm_tokenize": q_unigram_lm_tokenize,
@@ -5828,6 +5911,7 @@ DATAOPS_ORACLES = {
     "sft_pairs": SQL_SFT_PAIRS,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "hard_negatives_ann": _sql_hard_negatives_ann(),
+    "neardup_first_writer": SQL_NEARDUP_FIRST_WRITER,
     "dup_spans_sa": SQL_DUP_SPANS_SA,
     "unigram_lm_vocab": SQL_UNIGRAM_LM_VOCAB,
     "unigram_lm_tokenize": _sql_unigram_lm_tokenize(),

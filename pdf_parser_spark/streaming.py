@@ -431,6 +431,129 @@ def stream_funnel_state(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_neardup_mark(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Ingest-time near-dup FILTER: per arriving doc, mark each of its
+    MinHash LSH band buckets as owned (this doc was first into the
+    bucket within the dedup horizon) or not. A doc whose buckets are
+    all owned is kept; any unowned bucket means an earlier doc already
+    claimed it -> near-dup, drop. Batch twin: dataops.
+    q_neardup_first_writer ("band seen before" semantics — ownership
+    is first-arrival, and a dropped doc still poisons its buckets);
+    the stream==batch contract (test_stream_neardup_matches_batch)
+    pins the verdicts equal on an in-order stream, where first
+    arrival == min doc_id.
+
+    State is ONE long (the owner) per band bucket active within
+    ``horizon``, expired by EventTimeTimeout once the watermark passes
+    horizon beyond the bucket's newest arrival — so state is bounded
+    by the rolling ingest window, not the corpus (the global pass is
+    the batch twin over the persisted band index, as everywhere else
+    in the dedup family). The signature is computed statelessly in
+    column expressions (same 16 md5 min-hashes and least||greatest
+    band key as dataops._minhash_bands); the one divergence is the
+    MAX_DF stop-shingle cap, which needs a corpus-wide df count no
+    stream can know — below MAX_DF docs-per-shingle the two paths are
+    identical, beyond it the stream conservatively over-groups (more
+    collisions -> more drops, never fewer).
+
+    Input: (doc_id long, text string, ts timestamp). Output one row
+    per (doc, band): (doc_id, band, owned); fold to the per-doc
+    verdict with ``neardup_verdict_from_marks`` on any batch read of
+    the sink (the mark-at-ingest / apply-at-compaction split)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .dataops import N_BANDS, _shingles_col, _tokens_col
+
+    horizon_ms = int(pd.Timedelta(horizon).total_seconds() * 1000)
+    sh = _shingles_col(_tokens_col())
+
+    # NB: the minhash index must be bound via a closure factory — a
+    # two-argument lambda (`lambda s, i=i`) would make F.transform pass
+    # the ARRAY INDEX as the second argument, silently replacing i
+    def _minhash(i: int):
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    hashes = [_minhash(i) for i in range(2 * N_BANDS)]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        F.least(hashes[2 * b], hashes[2 * b + 1]),
+                        F.greatest(hashes[2 * b], hashes[2 * b + 1]),
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    rows = (
+        docs.withWatermark("ts", horizon)
+        .select("doc_id", "ts", F.explode(bands_arr).alias("bk"))
+        .select("doc_id", "ts", "bk.band", "bk.bkey")
+        .filter(F.col("bkey").isNotNull())  # too short to shingle -> no buckets
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("owned", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("owner", T.LongType(), False)])
+
+    def mark(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band, _bkey = key
+        owner = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        if owner is None:
+            owner = int(batch["doc_id"].iloc[0])
+        state.update((owner,))
+        # expire the bucket once the watermark passes horizon beyond
+        # its newest arrival (max ts >= current watermark on any
+        # non-timed-out invocation, so the timestamp is always valid)
+        state.setTimeoutTimestamp(
+            int(batch["ts"].max().value // 1_000_000) + horizon_ms
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "band": int(band),
+                "owned": batch["doc_id"].astype("int64") == owner,
+            }
+        )
+
+    return rows.groupBy("band", "bkey").applyInPandasWithState(
+        mark,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def neardup_verdict_from_marks(marks: DataFrame) -> DataFrame:
+    """Per-doc keep/drop verdict from a batch read of the
+    stream_neardup_mark sink: keep iff every bucket is owned (matches
+    q_neardup_first_writer's columns on docs that have buckets)."""
+    return (
+        marks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("owned").cast("long")).alias("n_owned"),
+        )
+        .withColumn("keep", F.col("n_owned") == F.col("n_buckets"))
+    )
+
+
 def stream_cms_cells(transcripts: DataFrame) -> DataFrame:
     """Bounded-state streaming count-min sketch: CMS cells over the
     bigram stream of arriving turn text (same hash rows as the batch

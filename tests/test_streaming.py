@@ -570,3 +570,74 @@ def test_stream_sft_pairs_resume_from_checkpoint(spark, tmp_path):
     assert 0 < n_first < len(batch)  # the restart actually resumed mid-corpus
     assert len(streamed) == len(batch)
     pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_stream_neardup_matches_batch(spark, tmp_path):
+    """Ingest-time LSH near-dup marks accumulated over an in-order doc
+    stream must fold to exactly the batch q_neardup_first_writer
+    verdict: arrival order == doc_id order, so stream first-arrival
+    ownership == batch min(doc_id) ownership, bucket for bucket. Also
+    locks that some docs are actually dropped (the corpus carries
+    near-dups) and that state is band-bucket-keyed (one owner long per
+    bucket), not doc-keyed."""
+    from pdf_parser_spark.dataops import q_neardup_first_writer
+    from pdf_parser_spark.streaming import (
+        neardup_verdict_from_marks,
+        stream_neardup_mark,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            "text",
+            # watermarks need TIMESTAMP (with tz), not NTZ; one second
+            # per doc_id makes arrival order == doc_id order
+            F.expr(
+                "CAST(TIMESTAMP_NTZ '2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, doc_id) AS TIMESTAMP)"
+            ).alias("ts"),
+        )
+    )
+    in_dir = str(tmp_path / "nd_in")
+    os.makedirs(in_dir, exist_ok=True)
+    _write_time_ordered_files(spark, docs, "ts", in_dir)
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    q = (
+        stream_neardup_mark(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["doc_id", "n_buckets", "n_owned", "keep"]
+    streamed = (
+        neardup_verdict_from_marks(spark.read.parquet(out))
+        .toPandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch_all = q_neardup_first_writer(spark, sf_dir).toPandas()
+    batch = (
+        batch_all[batch_all["n_buckets"] > 0][cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # every doc with buckets appears in the stream output, and a
+    # bucketless doc (none at this SF, asserted) trivially keeps
+    assert (batch_all["n_buckets"] > 0).all()
+    assert len(streamed) == len(batch) > 0
+    assert not batch["keep"].all()  # the corpus really has near-dups
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
