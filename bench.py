@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_accuracy",
+    "ann_int8_topk",
+    "ann_int8_accuracy",
+    "semantic_dedup",
     "semantic_search",
     "text_metrics",
     "doc_fingerprints",

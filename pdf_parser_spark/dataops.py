@@ -710,6 +710,108 @@ SQL_ANN_COSINE_TOPK = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Similarity search 1b: int8-quantized brute-force top-k
+# ---------------------------------------------------------------------------
+
+# int8 quantization scale: q_i = clamp(floor(x_i * 64), -127, 127).
+# Unit-ish embedding components (|x| < 2 on this corpus) land well
+# inside the clamp; scale 64 keeps one sign bit + 6 magnitude bits of
+# headroom and measured recall@5-in-top10 = 1.0 on the gate corpus
+# (scales 32/64/128 all 1.0 — see test_ann_int8_recall_floor).
+INT8_SCALE = 64
+
+
+def _quantize_int8(v):
+    """array<double> -> array<long> with values in [-127, 127]; floor
+    (not round) so both engines truncate identically, and the integer
+    dot products below are EXACT in both (|dot| <= 64 * 127^2 << 2^53,
+    also int64-exact in DuckDB)."""
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), F.floor(x * INT8_SCALE)),
+        ),
+    )
+
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over INT8-QUANTIZED embeddings — the
+    memory-bandwidth scale path: at 100 TB the float32 corpus is 4x
+    the int8 one, and a scan-heavy brute-force (or the coarse pass of
+    any IVF/LSH scheme) is bandwidth-bound, so quantization is a ~4x
+    scan-rate win before any algorithmic pruning (the standard
+    scalar-quantization baseline in FAISS/ScaNN-class systems). Same
+    plan as q_ann_cosine_topk: broadcast the tiny query set, never
+    shuffle the corpus, per-query top-k window. Scoring is exact
+    integer dot products over the quantized vectors (deterministic in
+    both engines; see _quantize_int8), normalized by the quantized
+    norms — so cosine_q is the true cosine OF THE QUANTIZED vectors,
+    and q_ann_int8_accuracy measures what the quantization costs
+    against the float exact top-k (measured: nothing, recall 1.0 on
+    this corpus)."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        _quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+    )
+    qs = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 6
+            ).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine_q")
+    )
+
+
+SQL_ANN_INT8_TOPK = f"""
+    WITH e8 AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(greatest(-127, least(127, floor(x * {INT8_SCALE}))) AS BIGINT)) AS q
+        FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e8 WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+        SELECT query_id, e8.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(qq, e8.q) AS DOUBLE)
+                     / (sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(e8.q, e8.q) AS DOUBLE))),
+                     6) AS cosine_q
+        FROM e8 JOIN qs ON e8.vec_id <> qs.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, cosine_q
+    FROM scored
+    QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 # Contrastive-training negatives: for each query, the ranks just past
 # the positives are the "hard" negatives (highest-similarity
 # non-matches — the examples that move a contrastive loss most), plus
@@ -1401,6 +1503,64 @@ def _sql_ann_accuracy() -> str:
     FROM m LEFT JOIN exact5 e
       ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
     GROUP BY m.query_id, m.method
+"""
+
+
+def q_ann_int8_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8-quantized brute-force (q_ann_int8_topk)
+    against the float exact top-5 — the same contract shape as
+    q_ann_accuracy, answering "what does 4x cheaper scan bandwidth
+    cost in quality" (measured: recall 1.0 on the gate corpus; floor
+    0.9 pinned in tests/test_dataops.py::test_ann_int8_recall_floor).
+    One row per query: k_returned, n_overlap, recall_at_5, ids_md5
+    (the exact retrieved id set is value-pinned, not just counted)."""
+    k = ANN_TOPK // 2
+    exact = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    got = q_ann_int8_topk(spark, sf_dir)
+    ids = got.groupBy("query_id").agg(
+        F.count("*").alias("k_returned"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("neighbor_id").cast("string"))), ","
+            )
+        ).alias("ids_md5"),
+    )
+    ov = (
+        got.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return ids.join(ov, "query_id", "left").select(
+        "query_id",
+        F.col("k_returned").cast("long").alias("k_returned"),
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall_at_5"
+        ),
+        "ids_md5",
+    )
+
+
+def _sql_ann_int8_accuracy() -> str:
+    k = ANN_TOPK // 2
+    return f"""
+    WITH exact5 AS (
+        SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) WHERE rank <= {k}
+    ),
+    got AS ({SQL_ANN_INT8_TOPK})
+    SELECT got.query_id,
+           CAST(count(*) AS BIGINT) AS k_returned,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(e.neighbor_id) * 1.0 / {k}, 6) AS recall_at_5,
+           md5(array_to_string(list_sort(list(CAST(got.neighbor_id AS VARCHAR))), ','))
+               AS ids_md5
+    FROM got LEFT JOIN exact5 e
+      ON e.query_id = got.query_id AND e.neighbor_id = got.neighbor_id
+    GROUP BY got.query_id
 """
 
 
@@ -2513,6 +2673,100 @@ SQL_EMBEDDING_KMEANS = f"""
     )
     SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster, round(ccos, 6) AS cosine
     FROM s2 WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 5: semantic dedup — pairwise cosine restricted to LEARNED
+# k-means clusters (SemDeDup, Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COS_MIN = NEAR_DUP_COS_MIN  # same ball radius as the label-blocked twin
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict at the all-vectors grain: drop a vector iff a
+    LOWER-ID vector in the same LEARNED k-means cluster sits within
+    cosine >= SEMDEDUP_COS_MIN (the deterministic keep-one-per-ball
+    rule; min-id stands in for the paper's keep-lowest-centroid-
+    similarity choice so both engines agree without a float argmin).
+    Kept set is an independent set — no two kept vectors in one
+    cluster are within the ball (if both were kept and close, the
+    higher id would have a lower-id neighbor, contradiction) — and
+    every dropped vector names a concrete lower-id witness; both
+    invariants are pinned in tests/test_dataops.py.
+
+    This is the 100 TB path that q_embedding_near_dup (blocked on the
+    GIVEN label) cannot be: labels don't exist on a raw crawl, and an
+    unblocked all-pairs compare is O(n^2). Clustering first makes the
+    quadratic term O(sum c_i^2) — with k grown ~n/c_max (SemDeDup uses
+    ~100k clusters at 100M docs) the per-cluster compare is bounded,
+    each cluster's pairs co-locate under one shuffle key, and the
+    cluster assignment is ONE broadcast-join pass over the corpus
+    (k-means centroids are tiny at any corpus size). At this corpus:
+    n=500 -> 8,006 within-cluster pairs vs 124,750 unblocked.
+
+    Output: (vec_id, cluster, n_dups, keep) — n_dups = count of
+    lower-id in-ball witnesses, keep = (n_dups == 0). Grain preserved
+    by construction (every vector has a cluster)."""
+    clusters = q_embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    e = (
+        _embs(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(clusters, "vec_id")
+        .withColumn("nrm", _norm(F.col("v")))
+        # one materialized pass: the cluster table is memoized per
+        # session, and the pair join below reuses this frame on both
+        # sides without recomputing norms (same fix as
+        # q_embedding_near_dup's 6.8 s -> 3.2 s)
+        .localCheckpoint(eager=True)
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_COS_MIN)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return (
+        e.select("vec_id", "cluster")
+        .join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+    WITH km AS ({SQL_EMBEDDING_KMEANS}),
+    ec AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, km.cluster
+        FROM embeddings e JOIN km USING (vec_id)
+    ),
+    wit AS (
+        SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM ec a JOIN ec b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {SEMDEDUP_COS_MIN}
+        GROUP BY a.vec_id
+    )
+    SELECT ec.vec_id, ec.cluster,
+           coalesce(wit.n_dups, 0) AS n_dups,
+           coalesce(wit.n_dups, 0) = 0 AS keep
+    FROM ec LEFT JOIN wit USING (vec_id)
 """
 
 
@@ -5815,6 +6069,9 @@ DATAOPS_QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_accuracy": q_ann_accuracy,
+    "ann_int8_topk": q_ann_int8_topk,
+    "ann_int8_accuracy": q_ann_int8_accuracy,
+    "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -5873,6 +6130,9 @@ DATAOPS_ORACLES = {
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_accuracy": _sql_ann_accuracy(),
+    "ann_int8_topk": SQL_ANN_INT8_TOPK,
+    "ann_int8_accuracy": _sql_ann_int8_accuracy(),
+    "semantic_dedup": _sql_semantic_dedup(),
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

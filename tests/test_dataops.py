@@ -129,6 +129,74 @@ def test_ann_recall_floors(spark):
     assert (abs(acc["n_overlap"] / 5 - acc["recall_at_5"]) < 1e-9).all()
 
 
+def test_ann_int8_recall_floor(spark):
+    """int8 quantization must not cost retrieval quality on this
+    corpus: recall@5 (exact float top-5 found within the quantized
+    top-10) >= 0.9 per query. Measured 1.0 at scales 32/64/128 during
+    tuning; INT8_SCALE=64 shipped. Deterministic — fixed data, floor
+    quantization — so the measured value is exact, not a flake band."""
+    from pdf_parser_spark.dataops import q_ann_int8_accuracy
+
+    acc = q_ann_int8_accuracy(spark, SF_DIR).toPandas()
+    assert (acc["recall_at_5"] >= 0.9).all()
+    assert (acc["k_returned"] <= 10).all()
+    assert (abs(acc["n_overlap"] / 5 - acc["recall_at_5"]) < 1e-9).all()
+
+
+def test_semantic_dedup_invariants(spark):
+    """The SemDeDup verdict's two structural guarantees, checked
+    against an independently computed within-cluster cosine pair
+    table: (a) the KEPT set is an independent set — no two kept
+    vectors in one cluster within the cosine ball; (b) every DROPPED
+    vector has a lower-id in-ball witness in its cluster and its
+    n_dups equals the witness count. Also: all-vectors grain and
+    non-trivial drops (the corpus really has semantic near-dups)."""
+    import numpy as np
+
+    from pdf_parser_spark.dataops import (
+        SEMDEDUP_COS_MIN,
+        q_embedding_kmeans,
+        q_semantic_dedup,
+    )
+
+    verdict = q_semantic_dedup(spark, SF_DIR).toPandas()
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    km = q_embedding_kmeans(spark, SF_DIR).toPandas()[["vec_id", "cluster"]]
+    assert len(verdict) == len(embs) and verdict["vec_id"].is_unique
+    assert not verdict["keep"].all() and verdict["keep"].any()
+
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in embs.itertuples()
+    }
+    cluster_of = dict(zip(km["vec_id"], km["cluster"]))
+    by_cluster: dict[int, list[int]] = {}
+    for vid, c in cluster_of.items():
+        by_cluster.setdefault(int(c), []).append(int(vid))
+    witness_count = {int(v): 0 for v in cluster_of}
+    for members in by_cluster.values():
+        members.sort()
+        for i, b in enumerate(members):
+            for a in members[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                cos = round(
+                    float(va @ vb)
+                    / (float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb))),
+                    6,
+                )
+                if cos >= SEMDEDUP_COS_MIN:
+                    witness_count[a] += 1  # b < a is the witness
+
+    v = verdict.set_index("vec_id")
+    for vid, n in witness_count.items():
+        assert int(v.loc[vid, "n_dups"]) == n
+        assert bool(v.loc[vid, "keep"]) == (n == 0)
+    kept = set(v[v["keep"]].index)
+    # independent set: a kept vector with a kept lower-id in-ball
+    # neighbor is impossible (witness_count would be > 0)
+    assert all(witness_count[k] == 0 for k in kept)
+
+
 def test_kmeans_partition_properties(spark):
     """Every vector lands in exactly one cluster; the seeded clustering
     is non-degenerate (more than one populated cluster)."""
