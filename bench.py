@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ann_int8_topk",
     "ann_int8_accuracy",
     "semantic_dedup",
+    "training_shards",
     "semantic_search",
     "text_metrics",
     "doc_fingerprints",

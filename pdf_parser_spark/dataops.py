@@ -5143,6 +5143,60 @@ SQL_TRAIN_TEST_SPLIT = f"""
 """
 
 
+TRAIN_N_SHARDS = 8
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment
+    — the last assembly step before writing training shards. Each doc
+    gets (shard, position): shard = md5-bucket of doc_id (same 60-bit
+    prefix idiom as the split/sample family), position = row_number
+    within the shard ordered by the md5 hex itself (doc_id tiebreak) —
+    so concatenating shards 0..N-1 in position order is a reproducible
+    pseudo-random permutation of the corpus, and a training loader
+    that interleaves shards sees the same stream every run.
+
+    The scale-critical property: there is NO GLOBAL SORT. A naive
+    "ORDER BY hash" permutation funnels 100 TB through a full-corpus
+    range exchange; here the only wide op is the shuffle on the shard
+    key (which the shard WRITE needs anyway — it IS the
+    repartition(shard) before partitionBy(shard) write), and each
+    shard orders independently (sortWithinPartitions in the writer,
+    a per-partition window here). Window partitions = shards, so
+    parallelism is n_shards — size TRAIN_N_SHARDS to the cluster
+    (thousands at 100 TB), never to 8; 8 is the test-corpus setting."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (_doc_hash_bucket(TRAIN_N_SHARDS)).cast("long").alias("shard"),
+            key.alias("k"),
+        )
+        .withColumn(
+            "position",
+            F.row_number()
+            .over(Window.partitionBy("shard").orderBy("k", "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "shard", "position")
+    )
+
+
+SQL_TRAINING_SHARDS = f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS position
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {TRAIN_N_SHARDS} AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing by deterministic per-language downsampling (the
     corpus-reweighting step of every pretraining mix: keep 30% of the
@@ -6072,6 +6126,7 @@ DATAOPS_QUERIES = {
     "ann_int8_topk": q_ann_int8_topk,
     "ann_int8_accuracy": q_ann_int8_accuracy,
     "semantic_dedup": q_semantic_dedup,
+    "training_shards": q_training_shards,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -6133,6 +6188,7 @@ DATAOPS_ORACLES = {
     "ann_int8_topk": SQL_ANN_INT8_TOPK,
     "ann_int8_accuracy": _sql_ann_int8_accuracy(),
     "semantic_dedup": _sql_semantic_dedup(),
+    "training_shards": SQL_TRAINING_SHARDS,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

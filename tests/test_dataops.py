@@ -129,6 +129,26 @@ def test_ann_recall_floors(spark):
     assert (abs(acc["n_overlap"] / 5 - acc["recall_at_5"]) < 1e-9).all()
 
 
+def test_training_shards_is_a_permutation(spark):
+    """The shard/position assignment is a reproducible permutation:
+    every doc appears exactly once, each shard's positions are a
+    contiguous 1..n run, shards are hash-balanced (no shard more than
+    2x the mean on this corpus), and a re-run is bit-identical (no
+    hidden nondeterminism in the window order)."""
+    from pdf_parser_spark.dataops import TRAIN_N_SHARDS, q_training_shards
+
+    a = q_training_shards(spark, SF_DIR).toPandas().sort_values("doc_id")
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(a) == n_docs and a["doc_id"].is_unique
+    assert set(a["shard"]) <= set(range(TRAIN_N_SHARDS))
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["position"]) == list(range(1, len(grp) + 1))
+    sizes = a.groupby("shard").size()
+    assert sizes.max() <= 2 * sizes.mean()
+    b = q_training_shards(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_ann_int8_recall_floor(spark):
     """int8 quantization must not cost retrieval quality on this
     corpus: recall@5 (exact float top-5 found within the quantized
