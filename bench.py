@@ -168,10 +168,17 @@ BENCH_QUERIES = [
 
 
 def _time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    """Time a query by writing it to Spark's `noop` sink — NOT by
+    .count(). count() lets Catalyst prune every unevaluated column, so
+    a pure narrow-map query (lang_id, text_quality, token_count, ...)
+    "benchmarks" as a row count over the scan with ZERO expression
+    work — the round-5 lang_id rewrite was invisible to the suite
+    (0.28 s) while its consumers paid 67 s. The noop sink forces full
+    evaluation of every output column JVM-side with no serialization
+    or disk cost, the standard Spark benchmarking sink."""
     t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    n = df.count()
-    return time.perf_counter() - t0, n
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0, -1
 
 
 # min-of-N interleaved passes (like the scaling legs): the host shows

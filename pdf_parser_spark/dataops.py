@@ -1603,6 +1603,56 @@ def _cjk_chars_col():
     return F.length(F.regexp_replace(F.col("text"), _CJK_NEG_SPARK, ""))
 
 
+def _tri_score_frame(df: DataFrame) -> DataFrame:
+    """``df`` (must carry ``text``) + MATERIALIZED trigram-profile
+    score columns (en, de, es, fr, n_tris, cjk, n_chars), built behind
+    two Generate (explode-of-1-element-array) barriers:
+
+    barrier 1 evaluates the padded trigram array ONCE per row; barrier
+    2 runs ONE InSet pass per profile over that materialized array.
+    The barriers matter because consumers reference the counts many
+    times (the argmax CASE chain alone touches en..fr ~17x, and a
+    filter on lang_pred pulls the whole chain into one predicate) and
+    Catalyst's projection collapse re-expands a non-attribute alias at
+    every reference — measured 67 s for corpus_filter at sf0.1 with
+    inline expressions vs ~1 s materialized; Generate outputs are
+    attributes, which collapse can never re-expand. Both barriers are
+    narrow (per-row, zero shuffle) and the values are bit-identical,
+    so the DuckDB oracles are untouched."""
+    b1 = df.withColumn("_tris", F.explode(F.array(_trigrams_col())))
+    scores = F.struct(
+        *[
+            _tri_hits(F.col("_tris"), LANG_PROFILES[l]).alias(l)
+            for l in ("en", "de", "es", "fr")
+        ],
+        F.size("_tris").alias("n_tris"),
+        _cjk_chars_col().alias("cjk"),
+        F.length("text").alias("n_chars"),
+    )
+    b2 = b1.withColumn("_sc", F.explode(F.array(scores)))
+    return b2.select(
+        *df.columns,
+        *[F.col(f"_sc.{c}") for c in ("en", "de", "es", "fr", "n_tris", "cjk", "n_chars")],
+    )
+
+
+def _lang_pred_col():
+    """The argmax CASE over MATERIALIZED score columns (see
+    _tri_score_frame): zh when majority-CJK, else highest profile hit
+    count with fixed tie order en>de>es>fr, 'und' when nothing hits.
+    References are plain attributes, so the chain is cheap no matter
+    how many times each count appears."""
+    best = F.greatest("en", "de", "es", "fr")
+    return (
+        F.when(2 * F.col("cjk") >= F.greatest(F.col("n_chars"), F.lit(1)), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(F.col("en") == best, F.lit("en"))
+        .when(F.col("de") == best, F.lit("de"))
+        .when(F.col("es") == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID (Cavnar-Trenkle n-gram profile
     family, round-5 upgrade of the stopword vote): per language, count
@@ -1611,7 +1661,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     first when the text is majority-CJK (2·cjk_chars ≥ n_chars), else
     argmax of the integer hit counts with fixed tie order
     en>de>es>fr, 'und' when nothing hits. Deterministic: integer
-    counts, no libm, one narrow map — no shuffle at all.
+    counts, no libm, per-row maps only.
+
+    Plan shape: a round-robin repartition fans the slim
+    (doc_id, lang, text) frame out to every core BEFORE the
+    classify hot loop (the testdata parquet is one row group = one
+    input split, which would otherwise pin the whole pass to a single
+    task; at 100 TB the scan has thousands of splits and AQE coalesces
+    this exchange away to nothing — it is the north-star's "explicit
+    repartitioning before the tokenize+classify hot loop"), then the
+    two-barrier materialized scoring of _tri_score_frame, then one
+    cheap projection.
 
     Honesty note (measured, see tests/test_dataops.py
     test_lang_id_trigram_recall and scripts/lang_ceiling.py): the
@@ -1623,32 +1683,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic multilingual corpus with real per-language text
     (≥0.9 per-language recall, en/de/es/fr/zh), while the testdata
     confusion rollup stays the honest data-bound report."""
-    tris = _trigrams_col()
-    hit_cols = {l: _tri_hits(tris, LANG_PROFILES[l]) for l in ("en", "de", "es", "fr")}
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.col("lang").alias("lang_true"),
-        hit_cols["en"].alias("en"),
-        hit_cols["de"].alias("de"),
-        hit_cols["es"].alias("es"),
-        hit_cols["fr"].alias("fr"),
-        F.size(tris).alias("n_tris"),
-        _cjk_chars_col().alias("cjk"),
-        F.length("text").alias("n_chars"),
+    d0 = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("lang").alias("lang_true"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    d = _tri_score_frame(d0)
     best = F.greatest("en", "de", "es", "fr")
-    pred = (
-        F.when(2 * F.col("cjk") >= F.greatest(F.col("n_chars"), F.lit(1)), F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(F.col("en") == best, F.lit("en"))
-        .when(F.col("de") == best, F.lit("de"))
-        .when(F.col("es") == best, F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
     return d.select(
         "doc_id",
         "lang_true",
-        pred.alias("lang_pred"),
+        _lang_pred_col().alias("lang_pred"),
         best.cast("long").alias("tri_hits"),
         F.round(best / F.greatest(F.col("n_tris"), F.lit(1)), 6).alias("tri_ratio"),
     )

@@ -33,9 +33,8 @@ from .dataops import (
     ES_STOP,
     FR_STOP,
     LANG_PROFILES,
-    _cjk_chars_col,
-    _tri_hits,
-    _trigrams_col,
+    _lang_pred_col,
+    _tri_score_frame,
     SQL_HARD_NEGATIVES,
     SQL_INCREMENTAL_DEDUP,
     _sql_bpe_tokenize,
@@ -130,25 +129,32 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one scan (zero shuffle, one whole-stage-codegen projection) —
     the shape a 100 TB metrics pass must have. The DuckDB oracle is
     the members' SQL joined on doc_id, so any drift between this
-    projection and the member semantics fails the gate."""
-    toks = _tokens_col()
+    projection and the member semantics fails the gate.
+
+    "One pass" is kept honest under Catalyst's projection collapse by
+    the same two Generate barriers as q_lang_id (_tri_score_frame
+    materializes the trigram profile counts; a first barrier here also
+    materializes the token array) — without them every reference to a
+    count or to `toks` re-expands the full array construction
+    (measured 7.2 s -> ~1 s at sf0.1). The barriers are per-row and
+    shuffle-free; the round-robin fan-out before them is the
+    north-star's explicit repartition ahead of the classify hot loop
+    (the testdata parquet is a single input split)."""
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_toks", F.explode(F.array(_tokens_col())))
+    )
+    sc = _tri_score_frame(base)
+    toks = F.col("_toks")
     n_toks = F.size(toks)
     # --- lang_id member (disjoint char-trigram profiles + CJK gate,
-    # the round-5 classifier — see q_lang_id) ---
-    tris = _trigrams_col()
-    en, de, es, fr = (
-        _tri_hits(tris, LANG_PROFILES[l]) for l in ("en", "de", "es", "fr")
-    )
-    n_chars = F.length(F.col("text"))
-    best = F.greatest(en, de, es, fr)
-    pred = (
-        F.when(2 * _cjk_chars_col() >= F.greatest(n_chars, F.lit(1)), F.lit("zh"))
-        .when(best == 0, F.lit("und"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .when(es == best, F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
+    # the round-5 classifier — see q_lang_id); en..fr/n_tris/cjk/
+    # n_chars are materialized attributes from _tri_score_frame ---
+    n_chars = F.col("n_chars")
+    best = F.greatest("en", "de", "es", "fr")
+    pred = _lang_pred_col()
     # --- text_quality member ---
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     stop_ratio_en = _hits(toks, EN_STOP) / F.greatest(n_toks, F.lit(1))
@@ -194,12 +200,12 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    return _docs(spark, sf_dir).select(
+    return sc.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
         pred.alias("lang_pred"),
         best.cast("long").alias("tri_hits"),
-        F.round(best / F.greatest(F.size(tris), F.lit(1)), 6).alias("tri_ratio"),
+        F.round(best / F.greatest(F.col("n_tris"), F.lit(1)), 6).alias("tri_ratio"),
         n_toks.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
