@@ -117,6 +117,31 @@ def _tokens_col():
     return F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
 
 
+def _barrier(df: DataFrame, **exprs) -> DataFrame:
+    """Materialize ``exprs`` as plain attribute columns behind a
+    Generate (explode-of-a-1-element-array) barrier: each expression
+    evaluates exactly ONCE per row, and every downstream reference is
+    an attribute lookup.
+
+    Why this exists (measured, round 5): Catalyst's projection
+    collapse inlines a non-cheap alias at EVERY use site, and a
+    higher-order-function lambda that captures an array-valued
+    SUBEXPRESSION re-evaluates that whole subexpression PER ELEMENT —
+    so `transform(seq, w -> min(slice(h, w, 4)))` with h itself a
+    transform over the text is O(len^2) per row, and an argmax CASE
+    chain over profile-count aliases rebuilds the trigram array ~17x
+    per row. Observed: corpus_filter 67.7 s, doc_fingerprints 32.0 s,
+    text_repetition 18.5 s at sf0.1 — each ~10-40x their barriered
+    cost. Generate output columns are attributes, which neither
+    collapse nor lambda capture can re-expand. The barrier is per-row
+    and shuffle-free; values are bit-identical, so DuckDB oracles are
+    untouched (DuckDB's CTE stages already materialize per stage).
+    Output columns = df's columns + exprs' keys."""
+    st = F.struct(*[e.alias(k) for k, e in exprs.items()])
+    b = df.withColumn("_gen", F.explode(F.array(st)))
+    return b.select(*df.columns, *[F.col(f"_gen.{k}").alias(k) for k in exprs])
+
+
 def _ngrams_col(toks, n: int):
     """Distinct word n-grams. Guarded: sequence(0, size-n) is descending
     for size<n in Spark, so short docs get an explicit empty array."""
@@ -1943,13 +1968,24 @@ SQL_UNIGRAM_LOGPROB = f"""
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-8 sketch fingerprint: md5 each shingle, keep the 8 smallest
     hashes, fingerprint = md5 of their concatenation. Entirely array-
-    level (no explode, no shuffle) — the winnowing-style doc signature."""
-    sh = _shingles_col(_tokens_col())
-    hs = F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, 8)
-    return _docs(spark, sf_dir).select(
+    level (no explode, no aggregation shuffle) — the winnowing-style doc
+    signature. The token and shingle arrays are _barrier-materialized
+    (the shingle lambda indexes the token array 3x per element, which
+    re-ran the regex tokenizer per shingle when `toks` was an inline
+    expression — 17.3 s -> ~0.5 s at sf0.1), and the slim frame is
+    fanned out round-robin first (single-split testdata input)."""
+    d = _barrier(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism),
+        toks=_tokens_col(),
+    )
+    d = _barrier(d, sh=_shingles_col(F.col("toks")))
+    hs = F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 8)
+    return d.select(
         "doc_id",
         F.md5(F.array_join(hs, "")).alias("fingerprint"),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.size("sh").cast("long").alias("n_shingles"),
     )
 
 
@@ -2267,23 +2303,26 @@ def winnow_frame(
         f"w -> array_min(slice(h, w, {WINNOW_WINDOW}))) ELSE array() END"
     )
     c = list(carry)
-    return (
-        df.selectExpr("doc_id", *c, f"{hashes} AS h")
-        .selectExpr("doc_id", *c, "size(h) AS n_grams", f"{wins} AS wins")
-        .selectExpr(
-            "doc_id",
-            *c,
-            "CAST(n_grams AS BIGINT) AS n_grams",
-            "array_sort(array_distinct(wins)) AS sel",
-        )
-        .selectExpr(
-            "doc_id",
-            *c,
-            "n_grams",
-            "CAST(size(sel) AS BIGINT) AS n_selected",
-            "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
-            *(["sel"] if keep_selected else []),
-        )
+    # Each stage is a _barrier, not a bare projection: the wins lambda
+    # captures h (slice(h, w, 4) per window) and projection collapse
+    # would otherwise inline the WHOLE rolling-hash transform into the
+    # lambda — re-evaluated per window element, O(len^2) per row
+    # (measured 15.0 s -> ~0.6 s for doc_winnow_fingerprint at sf0.1).
+    # t is an alias (lower(text)) at every caller, referenced by all 8
+    # rolling-hash terms per element — materialize it first too.
+    b0 = _barrier(
+        df.select("doc_id", *c, F.col("t").alias("_traw")), t=F.col("_traw")
+    ).drop("_traw")
+    b1 = _barrier(b0, h=F.expr(hashes))
+    b2 = _barrier(b1, wins=F.expr(wins))
+    b3 = _barrier(b2, sel=F.expr("array_sort(array_distinct(wins))"))
+    return b3.selectExpr(
+        "doc_id",
+        *c,
+        "CAST(size(h) AS BIGINT) AS n_grams",
+        "CAST(size(sel) AS BIGINT) AS n_selected",
+        "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
+        *(["sel"] if keep_selected else []),
     )
 
 
@@ -2295,10 +2334,13 @@ def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-gram window — distinct + sort + md5 for a compact per-doc
     signature. Guarantees any shared substring of length
     GRAM+WINDOW-1 = 11 chars contributes a shared selected hash, the
-    property bottom-k sketches (q_doc_fingerprint) lack. Pure column
-    expressions, zero shuffle."""
+    property bottom-k sketches (q_doc_fingerprint) lack. Per-row column
+    expressions staged through winnow_frame's _barrier stages; the
+    round-robin fan-out defuses the single-split testdata input."""
     return winnow_frame(
-        _docs(spark, sf_dir).selectExpr("doc_id", "lower(text) AS t")
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "lower(text) AS t")
     ).select("doc_id", "n_grams", "n_selected", "fingerprint")
 
 
@@ -4961,23 +5003,38 @@ SQL_EVENTS_UNPIVOT = f"""
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition metrics: distinct-token ratio, top-token
     fraction, top-bigram fraction (the Gopher repetition-rule family).
-    Narrow map — no explode, no groupBy: the token list stays inside
-    one row, so at 100 TB this is a pure scan-side projection."""
-    toks = _tokens_col()
+    Per-row maps only — no explode, no groupBy: the token list stays
+    inside one row, so at 100 TB this is a scan-side projection. The
+    token and bigram arrays are _barrier-materialized (the top-count
+    lambdas capture them — `filter(bigrams, x == g)` per distinct
+    bigram re-built the whole zip_with per element when bigrams was an
+    inline expression: 18.5 s -> ~0.6 s at sf0.1), and the slim frame
+    fans out round-robin first (single-split testdata input)."""
+    d = _barrier(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism),
+        toks=_tokens_col(),
+    )
+    n0 = F.size("toks")
+    d = _barrier(
+        d,
+        dist=F.array_distinct(F.col("toks")),
+        bigrams=F.zip_with(
+            F.slice(F.col("toks"), 1, F.greatest(n0 - 1, F.lit(0))),
+            F.slice(F.col("toks"), 2, F.greatest(n0 - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    toks, dist, bigrams = F.col("toks"), F.col("dist"), F.col("bigrams")
     n = F.size(toks)
-    dist = F.array_distinct(toks)
+    nb = F.size(bigrams)
     top_tok = F.coalesce(
         F.array_max(
             F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
         ),
         F.lit(0),
     )
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    nb = F.size(bigrams)
     top_bigram = F.coalesce(
         F.array_max(
             F.transform(
@@ -4987,7 +5044,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    return _docs(spark, sf_dir).select(
+    return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(F.size(dist) / F.greatest(n, F.lit(1)), 6).alias("distinct_ratio"),

@@ -33,6 +33,7 @@ from .dataops import (
     ES_STOP,
     FR_STOP,
     LANG_PROFILES,
+    _barrier,
     _lang_pred_col,
     _tri_score_frame,
     SQL_HARD_NEGATIVES,
@@ -178,18 +179,23 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + punct.cast("long")
     )
-    # --- text_repetition member ---
-    dist = F.array_distinct(toks)
+    # --- text_repetition member (dist/bigrams _barrier-materialized:
+    # the top-count lambdas capture them, see q_text_repetition) ---
+    sc = _barrier(
+        sc,
+        dist=F.array_distinct(toks),
+        bigrams=F.zip_with(
+            F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    dist, bigrams = F.col("dist"), F.col("bigrams")
     top_tok = F.coalesce(
         F.array_max(
             F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
         ),
         F.lit(0),
-    )
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     top_bigram = F.coalesce(
         F.array_max(
@@ -296,13 +302,22 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winnowing frame's staged narrow projections (winnow_frame) —
     no join, no second read of the text column. Members stay
     zero-shuffle column expressions; oracle = the members' SQL joined
-    on doc_id, so the fused plan is held to the composed semantics."""
-    sh = _shingles_col(_tokens_col())
-    hs = F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, 8)
-    base = _docs(spark, sf_dir).select(
+    on doc_id, so the fused plan is held to the composed semantics.
+    Token/shingle arrays ride the same _barrier stages as the members
+    (see q_doc_fingerprint / winnow_frame), and the slim frame fans
+    out round-robin first (single-split testdata input)."""
+    d = _barrier(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism),
+        toks=_tokens_col(),
+    )
+    d = _barrier(d, sh=_shingles_col(F.col("toks")))
+    hs = F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 8)
+    base = d.select(
         "doc_id",
         F.md5(F.array_join(hs, "")).alias("fp_bottomk"),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.size("sh").cast("long").alias("n_shingles"),
         F.lower(F.col("text")).alias("t"),
     )
     return winnow_frame(base, carry=("fp_bottomk", "n_shingles")).select(
