@@ -7,8 +7,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 The headline is the flagship extraction job (the north-rule hot path:
 salted repartition -> Arrow kernel -> ordering window) measured as
 turns/sec, plus the relational surface (TPC-H shapes, dedup, windows).
-Each query is forced with a cheap count/collect so the measured time is
-plan execution, not driver materialization of wide rows.
+Each query is forced through Spark's noop sink so the measured time is
+FULL plan execution of every output column (a count() lets Catalyst
+prune unevaluated columns — see _time_query), never driver
+materialization of wide rows. Training ops (k-means, BPE, unigram-LM)
+are ordered before their consumers so each pays its own build within a
+pass (memo caches are cleared between passes).
 
 Scaling-efficiency evidence (north rule: >=0.8 between N and 4N
 executors, sandbox analogue local[8] vs local[32]) is produced by
@@ -78,9 +82,15 @@ BENCH_QUERIES = [
     "ann_accuracy",
     "ann_int8_topk",
     "ann_int8_accuracy",
+    "embedding_kmeans",
     "semantic_dedup",
     "training_shards",
     "semantic_search",
+    "bpe_merges",
+    "bpe_tokenize",
+    "unigram_lm_vocab",
+    "unigram_lm_tokenize",
+    "unigram_logprob",
     "text_metrics",
     "doc_fingerprints",
     "corpus_assembly",
@@ -92,7 +102,6 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "token_count",
     "corpus_filter",
-    "embedding_kmeans",
     "embedding_pca1",
     "text_quality",
     "lang_id",
@@ -111,7 +120,6 @@ BENCH_QUERIES = [
     "tpch_q10",
     "events_tumbling",
     "text_repetition",
-    "unigram_logprob",
     "pii_scrub",
     "rollup_agg",
     "cube_agg",
@@ -152,10 +160,6 @@ BENCH_QUERIES = [
     "dup_span_scrub",
     "incremental_dup_spans",
     "corpus_composition",
-    "bpe_merges",
-    "bpe_tokenize",
-    "unigram_lm_vocab",
-    "unigram_lm_tokenize",
     "audio_segments",
     "quality_percentile",
     "snapshot_diff",
