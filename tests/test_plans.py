@@ -129,3 +129,36 @@ def test_lang_mixture_single_scan_shape(spark):
     # no exchange partitions the corpus on lang (only aggregation
     # exchanges over the tiny counts table are allowed)
     assert not re.search(r"Exchange hashpartitioning\(lang#\d+, \d+\)", plan), plan
+
+
+def test_barrier_single_construction(spark):
+    """Round-5 structural guard for the _barrier staging: each heavy
+    array construction must appear EXACTLY ONCE in the physical plan.
+    Catalyst's projection collapse inlines non-cheap aliases at every
+    use site and an HOF lambda capturing an array subexpression
+    re-evaluates it per element — the pre-fix plans carried ~17 copies
+    of the trigram build (corpus_filter: 67.7 s at sf0.1 vs 1.5 s
+    staged) and re-built winnow's rolling hash per window. Counting
+    construction markers in the executed-plan text pins the staging:
+    a refactor that drops a barrier reintroduces duplicate copies and
+    fails here long before a bench line moves."""
+    from pdf_parser_spark.suites import SUITE_QUERIES
+
+    def full_plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # trigram build marker: substring over the boundary-padded concat
+    for name in ("lang_id", "corpus_filter"):
+        p = full_plan(DATAOPS_QUERIES[name](spark, SF_DIR))
+        assert p.count("substring(concat") == 1, name
+        assert p.count("Generate explode") >= 2, name
+    p = full_plan(SUITE_QUERIES["text_metrics"](spark, SF_DIR))
+    assert p.count("substring(concat") == 1  # trigram build once
+    # rolling-hash build marker: the 8 ascii() terms of ONE h construction
+    p = full_plan(DATAOPS_QUERIES["doc_winnow_fingerprint"](spark, SF_DIR))
+    assert p.count("ascii(") == 8
+    assert p.count("Generate explode") >= 4
+    # tokenizer marker: the token array regex runs once
+    p = full_plan(DATAOPS_QUERIES["text_repetition"](spark, SF_DIR))
+    assert p.count("regexp_extract_all") == 1
+    assert p.count("Generate explode") >= 2
