@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ann_accuracy",
     "ann_int8_topk",
     "ann_int8_accuracy",
+    "ann_ivf_int8_topk",
     "embedding_kmeans",
     "semantic_dedup",
     "training_shards",

