@@ -2088,9 +2088,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _barrier(d, sh=_shingles_col(F.col("toks")))
     hs = F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 8)
+    # NULL fingerprint (not md5('')) when the doc is too short to
+    # shingle: DuckDB's array_to_string on an empty list is NULL, and
+    # the edge-corpus oracle (tests/test_edge_corpus.py) pins both
+    # engines to the same convention; the gate corpus has no such docs
     return d.select(
         "doc_id",
-        F.md5(F.array_join(hs, "")).alias("fingerprint"),
+        F.when(F.size("sh") > 0, F.md5(F.array_join(hs, ""))).alias("fingerprint"),
         F.size("sh").cast("long").alias("n_shingles"),
     )
 
@@ -2427,7 +2431,11 @@ def winnow_frame(
         *c,
         "CAST(size(h) AS BIGINT) AS n_grams",
         "CAST(size(sel) AS BIGINT) AS n_selected",
-        "md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) AS fingerprint",
+        # NULL (not md5('')) when nothing was selected — matches
+        # DuckDB's NULL array_to_string([]) (tests/test_edge_corpus.py)
+        "CASE WHEN size(sel) > 0 THEN"
+        " md5(array_join(transform(sel, x -> CAST(x AS STRING)), ',')) END"
+        " AS fingerprint",
         *(["sel"] if keep_selected else []),
     )
 

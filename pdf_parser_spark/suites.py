@@ -316,7 +316,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, 8)
     base = d.select(
         "doc_id",
-        F.md5(F.array_join(hs, "")).alias("fp_bottomk"),
+        # NULL (not md5('')) for shingle-less docs, as in the member
+        F.when(F.size("sh") > 0, F.md5(F.array_join(hs, ""))).alias("fp_bottomk"),
         F.size("sh").cast("long").alias("n_shingles"),
         F.lower(F.col("text")).alias("t"),
     )

@@ -1,0 +1,93 @@
+"""Edge-case corpus oracle checks for the _barrier-staged narrow maps.
+
+The driver testdata contains no empty, whitespace-only, CJK, or
+extreme-length documents (min text length 47), so the gate never
+exercises the short-doc guards (Spark's DESCENDING sequence(1, 0),
+explode-of-empty-array semantics, greatest(n, 1) divisors) or the CJK
+majority gate on real CJK text. This module writes a tiny adversarial
+documents.parquet and runs the full Spark-vs-DuckDB oracle comparison
+on it — the exact comparison the gate applies, on the rows the gate
+never sees. It doubles as the semantic-transparency proof for the
+round-5 Generate-barrier staging: the barriers must be invisible on
+inputs where explode(array(...)) could change the grain (an empty or
+null struct field still yields exactly one row per input row).
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_parser_spark.dataops import DATAOPS_ORACLES, DATAOPS_QUERIES
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "edge"),                           # empty
+    (1, " ", "en", "edge"),                          # whitespace only
+    (2, "a", "en", "edge"),                          # single char < gram sizes
+    (3, "ab", "en", "edge"),                         # below trigram/winnow gram
+    (4, "the and is of to the and is", "en", "edge"),  # stopword-only
+    (5, "这是一个完全中文的文档内容测试样例", "zh", "edge"),  # pure CJK
+    (6, "mixed 中文 and english words here 测试", "en", "edge"),
+    (7, "x " * 400, "en", "edge"),                   # long, 2-char token repeats
+    (8, "tok", "de", "edge"),                        # exactly one token
+    (9, "word " + "b" * 300 + " tail", "fr", "edge"),  # one giant token
+    (10, "Tab\tand\nnewline  spacing.", "en", "edge"),
+    (11, "ünïcödé diacritics straße œuvre", "es", "edge"),
+]
+
+# the barrier-staged / short-doc-guarded members, all at the all-docs
+# grain: every one must return exactly len(EDGE_DOCS) rows and
+# hash-match DuckDB on this corpus
+EDGE_QUERIES = [
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "text_repetition",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
+    "train_test_split",
+    "training_shards",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    pdf = pd.DataFrame(EDGE_DOCS, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    spark_pdf = DATAOPS_QUERIES[name](spark, edge_dir).toPandas()
+    oracle_pdf = con.execute(DATAOPS_ORACLES[name]).df()
+    con.close()
+    assert len(spark_pdf) == len(EDGE_DOCS), f"{name}: grain broken"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns)
+    float_cols = [c for c in a.columns if a[c].dtype.kind == "f" or b[c].dtype.kind == "f"]
+    crisp = [c for c in a.columns if c not in float_cols]
+    pd.testing.assert_frame_equal(a[crisp], b[crisp], check_dtype=False, check_exact=True)
+    if float_cols:
+        pd.testing.assert_frame_equal(
+            a[float_cols], b[float_cols], check_dtype=False,
+            check_exact=False, rtol=1e-9, atol=1e-9,
+        )
