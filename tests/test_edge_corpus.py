@@ -37,10 +37,10 @@ EDGE_DOCS = [
     (11, "ünïcödé diacritics straße œuvre", "es", "edge"),
 ]
 
-# the barrier-staged / short-doc-guarded members, all at the all-docs
+# the barrier-staged / short-doc-guarded members at the all-docs
 # grain: every one must return exactly len(EDGE_DOCS) rows and
 # hash-match DuckDB on this corpus
-EDGE_QUERIES = [
+ALL_DOCS_GRAIN = [
     "lang_id",
     "text_quality",
     "token_count",
@@ -49,7 +49,30 @@ EDGE_QUERIES = [
     "doc_winnow_fingerprint",
     "train_test_split",
     "training_shards",
+    "pii_scrub",
+    "span_dedup",
+    "unigram_logprob",
+    "lang_mixture",
+    "quality_percentile",
+    "weighted_sample",
 ]
+# members whose output grain legitimately shrinks on this corpus
+# (pair tables with no near-dups, filters, per-token/per-source
+# grains) — still hash-compared, just not row-counted against n_docs
+OTHER_GRAIN = [
+    "contamination_check",  # benchmark holdout rows excluded by design
+    "minhash_near_dup",     # 0 pairs here — both engines must agree on 0
+    "simhash_dedup",
+    "bpe_tokenize",         # docs with >=1 token
+    "corpus_filter",
+    "collocations",
+    "ngram_topk",
+    "dup_spans",
+    "stratified_sample",
+    "domain_cap",
+    "sequence_pack",
+]
+EDGE_QUERIES = ALL_DOCS_GRAIN + OTHER_GRAIN
 
 
 @pytest.fixture(scope="module")
@@ -72,6 +95,9 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)
 def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    from pdf_parser_spark.dataops import clear_memo_caches
+
+    clear_memo_caches()  # memo tables must rebuild against THIS corpus
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
@@ -80,7 +106,8 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     spark_pdf = DATAOPS_QUERIES[name](spark, edge_dir).toPandas()
     oracle_pdf = con.execute(DATAOPS_ORACLES[name]).df()
     con.close()
-    assert len(spark_pdf) == len(EDGE_DOCS), f"{name}: grain broken"
+    if name in ALL_DOCS_GRAIN:
+        assert len(spark_pdf) == len(EDGE_DOCS), f"{name}: grain broken"
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns)
     float_cols = [c for c in a.columns if a[c].dtype.kind == "f" or b[c].dtype.kind == "f"]
