@@ -660,7 +660,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.withColumn("nrm", _norm(F.col("v"))).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -677,8 +677,8 @@ SQL_EMBEDDING_NEAR_DUP = f"""
     SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
                      6) AS cosine
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -702,7 +702,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / F.nullif(_norm(F.col("qv")) * _norm(F.col("v")), F.lit(0.0))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("cosine"))
@@ -721,8 +721,8 @@ SQL_ANN_COSINE_TOPK = f"""
     scored AS (
         SELECT query_id, e.vec_id AS neighbor_id,
                round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
-                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     / nullif(sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0),
                      6) AS cosine
         FROM embeddings e JOIN q ON e.vec_id <> q.query_id
     )
@@ -801,7 +801,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 6
+                idot.cast("double") / F.nullif(inorm(F.col("qq")) * inorm(F.col("q")), F.lit(0.0)), 6
             ).alias("cosine_q"),
         )
     )
@@ -823,8 +823,8 @@ SQL_ANN_INT8_TOPK = f"""
     scored AS (
         SELECT query_id, e8.vec_id AS neighbor_id,
                round(CAST(list_dot_product(qq, e8.q) AS DOUBLE)
-                     / (sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
-                        * sqrt(CAST(list_dot_product(e8.q, e8.q) AS DOUBLE))),
+                     / nullif(sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(e8.q, e8.q) AS DOUBLE)), 0),
                      6) AS cosine_q
         FROM e8 JOIN qs ON e8.vec_id <> qs.query_id
     )
@@ -909,7 +909,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / F.nullif(_norm(F.col("qv")) * _norm(F.col("v")), F.lit(0.0))
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -968,8 +968,8 @@ SQL_HARD_NEGATIVES = f"""
     scored AS (
         SELECT query_id, e.vec_id AS neighbor_id,
                round(list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
-                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     / nullif(sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0),
                      6) AS cosine
         FROM embeddings e JOIN q ON e.vec_id <> q.query_id
     ),
@@ -1092,7 +1092,7 @@ def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = eb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "t", "b"
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / F.nullif(_norm(F.col("qv")) * _norm(F.col("v")), F.lit(0.0))
     return (
         eb.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1193,7 +1193,7 @@ def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / F.nullif(_norm(F.col("qv")) * _norm(F.col("v")), F.lit(0.0))
     rand = (
         picked.join(e, picked.neighbor_id == e.vec_id)
         .join(F.broadcast(qv), "query_id")
@@ -1261,8 +1261,8 @@ def _sql_hard_negatives_ann() -> str:
     SELECT p.query_id, p.neighbor_id, 'random' AS label,
            CAST(p.rr AS BIGINT) AS neg_rank,
            round(list_dot_product(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[]))),
+                 / nullif(sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(ne.embedding::DOUBLE[], ne.embedding::DOUBLE[])), 0),
                  6) AS cosine
     FROM picked p
     JOIN embeddings qe ON qe.vec_id = p.query_id
@@ -1299,8 +1299,8 @@ def _sql_lsh_scored() -> str:
           WHERE vec_id < {ANN_N_QUERIES})
     SELECT DISTINCT query_id, eb.vec_id AS neighbor_id,
            round(list_dot_product(qv, eb.v)
-                 / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+                 / nullif(sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(eb.v, eb.v)), 0), 6) AS cosine
     FROM eb JOIN q USING (t, b)
     WHERE eb.vec_id <> q.query_id
 """
@@ -1379,7 +1379,7 @@ def _ivf_scored(
         (F.col("vec_id") >= IVF_CENTROID_BASE)
         & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    ccos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    ccos = _dot(F.col("v"), F.col("cv")) / F.nullif(_norm(F.col("v")) * _norm(F.col("cv")), F.lit(0.0))
 
     def nearest(df, keep):
         scored = df.join(F.broadcast(cents)).withColumn("ccos", ccos)
@@ -1394,7 +1394,7 @@ def _ivf_scored(
     probes = nearest(e.filter(F.col("vec_id") < ANN_N_QUERIES), nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cent_id"
     )
-    qcos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    qcos = _dot(F.col("qv"), F.col("v")) / F.nullif(_norm(F.col("qv")) * _norm(F.col("v")), F.lit(0.0))
     return (
         assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1424,7 +1424,7 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= IVF_CENTROID_BASE)
         & (F.col("vec_id") < IVF_CENTROID_BASE + IVF_N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    ccos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    ccos = _dot(F.col("v"), F.col("cv")) / F.nullif(_norm(F.col("v")) * _norm(F.col("cv")), F.lit(0.0))
 
     def nearest(df, keep):
         scored = df.join(F.broadcast(cents)).withColumn("ccos", ccos)
@@ -1458,7 +1458,7 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                idot.cast("double") / (inorm(F.col("qq")) * inorm(F.col("q"))), 6
+                idot.cast("double") / F.nullif(inorm(F.col("qq")) * inorm(F.col("q")), F.lit(0.0)), 6
             ).alias("cosine_q"),
         )
         .distinct()
@@ -1483,7 +1483,7 @@ SQL_ANN_IVF_INT8_TOPK = f"""
         SELECT vec_id, q, cent_id,
                row_number() OVER (PARTITION BY vec_id ORDER BY
                    list_dot_product(e.v, cv)
-                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))
+                       / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)), 0)
                    DESC, cent_id) AS crank
         FROM e CROSS JOIN cents
     ),
@@ -1495,8 +1495,8 @@ SQL_ANN_IVF_INT8_TOPK = f"""
     cand AS (
         SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
                round(CAST(list_dot_product(qq, a.q) AS DOUBLE)
-                     / (sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
-                        * sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))), 6) AS cosine_q
+                     / nullif(sqrt(CAST(list_dot_product(qq, qq) AS DOUBLE))
+                        * sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)), 0), 6) AS cosine_q
         FROM assigned a JOIN probes p USING (cent_id)
         WHERE a.vec_id <> p.query_id
     )
@@ -1517,7 +1517,7 @@ SQL_ANN_IVF_TOPK = f"""
     scored_c AS (
         SELECT e.vec_id, e.v, cent_id,
                list_dot_product(e.v, cv)
-                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+                   / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)), 0) AS ccos
         FROM e CROSS JOIN cents
     ),
     ranked_c AS (
@@ -1533,7 +1533,7 @@ SQL_ANN_IVF_TOPK = f"""
     cand AS (
         SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
                round(list_dot_product(qv, a.v)
-                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+                     / nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v)), 0), 6) AS cosine
         FROM assigned a JOIN probes p USING (cent_id)
         WHERE a.vec_id <> p.query_id
     )
@@ -2808,7 +2808,7 @@ def _kmeans_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") < IVF_CENTROID_BASE + KMEANS_K)
     ).select((F.col("vec_id") - IVF_CENTROID_BASE).alias("cent_id"), F.col("v").alias("cv"))
 
-    cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    cos = _dot(F.col("v"), F.col("cv")) / F.nullif(_norm(F.col("v")) * _norm(F.col("cv")), F.lit(0.0))
 
     def assign(cents: DataFrame) -> DataFrame:
         scored = e.join(F.broadcast(cents)).withColumn("ccos", cos)
@@ -2848,10 +2848,10 @@ SQL_EMBEDDING_KMEANS = f"""
     s1 AS (
         SELECT vec_id, v, cent_id,
                list_dot_product(v, cv)
-                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+                   / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)), 0) AS ccos,
                row_number() OVER (PARTITION BY vec_id
                     ORDER BY list_dot_product(v, cv)
-                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)), 0) DESC,
                         cent_id) AS r
         FROM e CROSS JOIN c0
     ),
@@ -2865,10 +2865,10 @@ SQL_EMBEDDING_KMEANS = f"""
     s2 AS (
         SELECT vec_id, cent_id,
                list_dot_product(v, cv)
-                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos,
+                   / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)), 0) AS ccos,
                row_number() OVER (PARTITION BY vec_id
                     ORDER BY list_dot_product(v, cv)
-                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)), 0) DESC,
                         cent_id) AS r
         FROM e CROSS JOIN c1
     )
@@ -2923,7 +2923,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0))
     witnesses = (
         a.join(
             b,
@@ -2959,8 +2959,8 @@ def _sql_semantic_dedup() -> str:
         FROM ec a JOIN ec b
           ON a.cluster = b.cluster AND b.vec_id < a.vec_id
         WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 6)
+                    / nullif(sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v)), 0), 6)
               >= {SEMDEDUP_COS_MIN}
         GROUP BY a.vec_id
     )

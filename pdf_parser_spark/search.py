@@ -126,7 +126,11 @@ def rank_search(vecs: DataFrame, docs: DataFrame, query: str, topk: int = TOPK) 
     dnorm = F.sqrt(sum(F.col(f"v{d}") * F.col(f"v{d}") for d in range(EMBED_DIM)))
     scored = vecs.select(
         "doc_id",
-        F.round(dot / (dnorm * F.lit(qnorm)), 6).alias("similarity"),
+        # NULL similarity for a zero-norm doc vector (empty/stopword-only
+        # chunk): ANSI Spark would otherwise raise DIVIDE_BY_ZERO and one
+        # degenerate row would kill the whole job (see dataops nullif
+        # convention; DuckDB mirrors via nullif)
+        F.round(dot / F.nullif(dnorm * F.lit(qnorm), F.lit(0.0)), 6).alias("similarity"),
     )
 
     toks4 = F.array_distinct(
@@ -259,7 +263,7 @@ def _sql_semantic_search() -> str:
     ),
     scored AS (
         SELECT doc_id,
-               round(({dot}) / (sqrt({dn}) * {qnorm}), 6) AS similarity
+               round(({dot}) / nullif(sqrt({dn}) * {qnorm}, 0), 6) AS similarity
         FROM vecs
     ),
     kw AS (

@@ -118,3 +118,94 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
             a[float_cols], b[float_cols], check_dtype=False,
             check_exact=False, rtol=1e-9, atol=1e-9,
         )
+
+
+EMB_QUERIES = [
+    "ann_cosine_topk",
+    "ann_int8_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_int8_topk",
+    "ann_accuracy",
+    "ann_int8_accuracy",
+    "embedding_kmeans",
+    "semantic_dedup",
+    "embedding_near_dup",
+    "hard_negatives",
+    "hard_negatives_ann",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    """Embedding table with ZERO-NORM vectors — including a zero QUERY
+    vector (vec_id 2 < ANN_N_QUERIES) — the production hazard an empty
+    document's embedding creates. Under Spark 4's default ANSI mode a
+    raw cosine division crashed the whole family (DIVIDE_BY_ZERO); the
+    nullif convention makes both engines emit NULL cosine, ranked last
+    and failing every threshold, identically."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from pdf_parser_spark.dataops import EMB_DIM
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    rs = np.random.RandomState(3)
+    rows = []
+    for i in range(130):
+        v = rs.randn(EMB_DIM).astype(np.float32)
+        if i in (2, 7):
+            v = np.zeros(EMB_DIM, dtype=np.float32)
+        rows.append((i, v.tolist(), int(i % 4)))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]), schema
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "embeddings.parquet")
+    )
+    doc = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["hello world foo", "bar baz qux"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [15, 11],
+        }
+    )
+    spark.createDataFrame(doc).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_zero_vector_matches_oracle(spark, edge_emb_dir, name):
+    from pdf_parser_spark.dataops import clear_memo_caches
+
+    clear_memo_caches()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_emb_dir}/{t}.parquet/*.parquet')"
+        )
+    spark_pdf = DATAOPS_QUERIES[name](spark, edge_emb_dir).toPandas()
+    oracle_pdf = con.execute(DATAOPS_ORACLES[name]).df()
+    con.close()
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0, name
+    float_cols = [c for c in a.columns if a[c].dtype.kind == "f" or b[c].dtype.kind == "f"]
+    crisp = [c for c in a.columns if c not in float_cols]
+    pd.testing.assert_frame_equal(a[crisp], b[crisp], check_dtype=False, check_exact=True)
+    if float_cols:
+        pd.testing.assert_frame_equal(
+            a[float_cols], b[float_cols], check_dtype=False,
+            check_exact=False, rtol=1e-9, atol=1e-9,
+        )
