@@ -2147,7 +2147,13 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double") / F.lit(float(16**15))
     )
     per_key = (
-        events.select("event_type", F.col("user_id"), frac.alias("u"))
+        events
+        # NULL user_id is not a user: count(DISTINCT user_id) excludes
+        # NULL in SQL, but the group-then-count-rows shape below would
+        # have counted the NULL group (tests/test_edge_corpus.py
+        # events probe caught Spark 4 vs DuckDB 3 on a NULL-user row)
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id"), frac.alias("u"))
         .groupBy("event_type", "user_id")
         .agg(F.first("u").alias("u"))
     )
@@ -2180,7 +2186,12 @@ SQL_KMV_DISTINCT_USERS = f"""
         SELECT event_type, user_id,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
                    / CAST({16**15} AS DOUBLE) AS u
-        FROM events GROUP BY event_type, user_id,
+        FROM events
+        -- NULL user_id is not a user (mirrors the Spark-side filter);
+        -- without this, DuckDB's list(u) keeps the NULL-group's NULL
+        -- hash in the sketch and shifts the estimate
+        WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
                  / CAST({16**15} AS DOUBLE)
     ),

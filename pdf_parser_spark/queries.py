@@ -1425,12 +1425,26 @@ ORACLES: dict[str, str] = {
           AND l_shipdate < TIMESTAMP '1995-10-01'
     """,
     "json_props_stats": """
+        -- json_valid + TRY_CAST guard: Spark's from_json is NULL on
+        -- malformed props / NULL / wrong-typed values, DuckDB's
+        -- json_extract RAISES on malformed input and CAST raises on a
+        -- non-numeric JSON value, and rounds a float where from_json's
+        -- BIGINT field is strict-NULL (tests/test_edge_corpus.py events
+        -- probe) — the guards pin both engines to NULL-on-garbage
+        WITH ks AS (
+            SELECT event_type,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                             AND json_type(json_extract(props, '$.k'))
+                                 IN ('BIGINT', 'UBIGINT')
+                        THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+            FROM events
+        )
         SELECT event_type,
-               count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+               count(k) AS n_with_k,
                -- CAST: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas
-               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
-        FROM events GROUP BY event_type
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 6) AS avg_k
+        FROM ks GROUP BY event_type
     """,
     "value_quantiles": """
         SELECT event_type,

@@ -88,6 +88,11 @@ def edge_dir(spark, tmp_path_factory):
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
+        # stringify datetimes: Spark returns datetime64[ns], DuckDB
+        # datetime64[us] — same instants, different int views (the
+        # driver's hash comparison renders strings and is immune)
+        if pdf[c].dtype.kind == "M":
+            pdf[c] = pdf[c].astype(str)
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
     return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
@@ -197,6 +202,104 @@ def test_zero_vector_matches_oracle(spark, edge_emb_dir, name):
         )
     spark_pdf = DATAOPS_QUERIES[name](spark, edge_emb_dir).toPandas()
     oracle_pdf = con.execute(DATAOPS_ORACLES[name]).df()
+    con.close()
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0, name
+    float_cols = [c for c in a.columns if a[c].dtype.kind == "f" or b[c].dtype.kind == "f"]
+    crisp = [c for c in a.columns if c not in float_cols]
+    pd.testing.assert_frame_equal(a[crisp], b[crisp], check_dtype=False, check_exact=True)
+    if float_cols:
+        pd.testing.assert_frame_equal(
+            a[float_cols], b[float_cols], check_dtype=False,
+            check_exact=False, rtol=1e-9, atol=1e-9,
+        )
+
+
+EDGE_EVENT_QUERIES = [
+    "sessionize_events",
+    "funnel_stages",
+    "events_asof_join",
+    "events_range_join",
+    "events_rollup",
+    "events_pivot",
+    "events_unpivot",
+    "events_tumbling",
+    "kmv_distinct_users",
+    "json_props_stats",
+    "window_running_total",
+    "window_trailing",
+    "latest_per_key",
+    "scd2_intervals",
+    "value_quantiles",
+    "hist_quantiles",
+    "set_ops",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    """Events table with the rows the synthesized testdata never
+    emits: NULL user_id, NULL / malformed / wrong-typed JSON props
+    (this probe caught DuckDB's json_extract RAISING where Spark's
+    from_json is NULL, and TRY_CAST rounding a float where a BIGINT
+    from_json field is strict-NULL), duplicate timestamps within a
+    user, exact duplicate rows, negative values, and a lone far-future
+    user (empty session/window neighborhoods)."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("edge_events")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, mins, user, etype, value, props):
+        return (i, t0 + datetime.timedelta(minutes=mins), user, etype, value, props)
+
+    rows = [
+        ev(0, 0, None, "view", 1.0, '{"k": 1}'),
+        ev(1, 1, 1, "view", 2.0, None),
+        ev(2, 1, 1, "click", 3.0, "not json"),
+        ev(3, 1, 1, "purchase", -5.0, '{"k": -2}'),
+        ev(4, 500, 2, "view", 0.0, "{}"),
+        ev(5, 2, 1, "signup", 10.0, '{"k": 999999999}'),
+        ev(6, 2, 1, "signup", 10.0, '{"k": 0}'),
+        ev(7, 90, 3, "error", 7.5, '{"x": 1}'),
+        ev(8, 95, 3, "error", 7.5, '{"k": 3.9}'),   # float where BIGINT expected
+        ev(9, 96, 3, "error", 7.5, '{"k": "7"}'),   # quoted number
+    ]
+    rows += [
+        ev(10 + i, 3 * i, 1 + (i % 3),
+           ["view", "click", "purchase", "signup", "error"][i % 5],
+           float(i), '{"k": %d}' % i)
+        for i in range(32)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "events.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_matches_oracle(spark, edge_events_dir, name):
+    from pdf_parser_spark.dataops import DATAOPS_ORACLES as DO
+    from pdf_parser_spark.dataops import DATAOPS_QUERIES as DQ
+    from pdf_parser_spark.dataops import clear_memo_caches
+    from pdf_parser_spark.queries import ORACLES as QO
+    from pdf_parser_spark.queries import QUERIES as QQ
+
+    clear_memo_caches()
+    queries = {**QQ, **DQ}
+    oracles = {**QO, **DO}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet/*.parquet')"
+    )
+    spark_pdf = queries[name](spark, edge_events_dir).toPandas()
+    oracle_pdf = con.execute(oracles[name]).df()
     con.close()
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns)
